@@ -1,0 +1,21 @@
+from .aggregates import column_stats, build_aggregate_specs, agg_column
+from .row_compare import row_compare, row_violations, row_compare_verdicts
+from .uniqueness import uniqueness_violations, uniqueness_verdict
+from .referential import referential_violations
+from .partitioning import partition_boundaries, salted_agg
+from .sampling import deterministic_sample
+
+__all__ = [
+    "column_stats",
+    "build_aggregate_specs",
+    "agg_column",
+    "row_compare",
+    "row_violations",
+    "row_compare_verdicts",
+    "uniqueness_violations",
+    "uniqueness_verdict",
+    "referential_violations",
+    "partition_boundaries",
+    "salted_agg",
+    "deterministic_sample",
+]

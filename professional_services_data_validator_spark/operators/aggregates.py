@@ -1,0 +1,182 @@
+"""Column-validation aggregation: one-pass hash aggregate.
+
+Reference analog: AggregateField factories
+(reference data_validation/query_builder/query_builder.py:37-115) compiled in
+a single GROUP BY query (query_builder.py:546-557), plus the type-driven
+pre-aggregation rewrites of '*'-expansion
+(reference data_validation/config_manager.py:741-967).
+
+Spark-first notes:
+- ALL requested aggregates run in ONE ``groupBy().agg(...)`` — a single scan,
+  partial (map-side) + final hash aggregation, whole-stage codegen. No
+  per-aggregate queries, no second pass for null-rate.
+- group-by timestamp columns auto-cast to date
+  (reference query_builder.py:251-252).
+- COUNT(*) and COUNT(col) in the same pass give null-rate for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import AggregateSpec, FilterSpec
+
+try:  # Spark >= 3.5 has the python wrapper; fall back to SQL expr
+    from pyspark.sql.functions import bit_xor as _bit_xor_fn  # type: ignore
+
+    def _bit_xor(c: Column) -> Column:
+        return _bit_xor_fn(c)
+
+except ImportError:  # pragma: no cover
+
+    def _bit_xor(c: Column) -> Column:
+        return F.expr(f"bit_xor({c._jc.toString()})")
+
+
+_PRECALC = {
+    None: lambda c: c,
+    "length": F.length,
+    "byte_length": F.octet_length,
+    "epoch_seconds": lambda c: F.unix_timestamp(c.cast("timestamp")),
+    "cast_bigint": lambda c: c.cast("long"),
+}
+
+_AGG = {
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "avg": F.avg,
+    "std": F.stddev_samp,
+    "bit_xor": _bit_xor,
+}
+
+
+def agg_column(spec: AggregateSpec) -> Column:
+    """AggregateSpec -> a single Spark aggregate Column."""
+    if spec.agg_type == "count":
+        base = (
+            F.count(F.lit(1))
+            if spec.column is None
+            else F.count(_PRECALC[spec.precalc](F.col(spec.column)))
+        )
+    else:
+        if spec.column is None:
+            raise ValueError(f"{spec.agg_type} requires a column")
+        base = _AGG[spec.agg_type](_PRECALC[spec.precalc](F.col(spec.column)))
+    if spec.post_cast:
+        base = base.cast(spec.post_cast)
+    return base.alias(spec.validation_name)
+
+
+def apply_filters(df: DataFrame, filters: list[FilterSpec], side: str) -> DataFrame:
+    """Apply the per-side WHERE predicates
+    (reference query_builder.py:145-197 FilterField family)."""
+    for f in filters:
+        if f.ftype == "custom":
+            sql = f.source if side == "source" else (f.target or f.source)
+            if sql:
+                df = df.filter(F.expr(sql))
+        elif f.ftype == "equal_to":
+            df = df.filter(F.col(f.column) == F.lit(f.value))
+        elif f.ftype == "greater_than":
+            df = df.filter(F.col(f.column) > F.lit(f.value))
+        elif f.ftype == "less_than":
+            df = df.filter(F.col(f.column) < F.lit(f.value))
+        elif f.ftype == "isin":
+            df = df.filter(F.col(f.column).isin(list(f.value)))
+        elif f.ftype == "or":
+            import functools
+            import operator as _op
+
+            preds = [F.expr(s) for s in f.value]
+            df = df.filter(functools.reduce(_op.or_, preds))
+        else:
+            raise ValueError(f"unknown filter type {f.ftype!r}")
+    return df
+
+
+def column_stats(
+    df: DataFrame,
+    aggregates: list[AggregateSpec],
+    group_by: list[str] | None = None,
+    filters: list[FilterSpec] | None = None,
+    side: str = "source",
+    cast_group_timestamps_to_date: bool = True,
+) -> DataFrame:
+    """One row per group with one column per aggregate validation.
+
+    This is the entire 'query' of a Column/GroupedColumn validation
+    (reference query_builder.py:512-562 compile order:
+    filter -> calculated mutates -> group_by -> aggregate).
+    """
+    if filters:
+        df = apply_filters(df, filters, side)
+    agg_cols = [agg_column(a) for a in aggregates]
+    group_by = group_by or []
+    if not group_by:
+        return df.agg(*agg_cols)
+    keys = []
+    schema = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    for g in group_by:
+        col = F.col(g)
+        if cast_group_timestamps_to_date and isinstance(
+            schema.get(g), (T.TimestampType, T.TimestampNTZType)
+        ):
+            # reference query_builder.py:251-252
+            col = col.cast("date").alias(g)
+        keys.append(col)
+    return df.groupBy(*keys).agg(*agg_cols)
+
+
+def build_aggregate_specs(
+    df: DataFrame,
+    agg_types: list[str],
+    columns: str | list[str] = "*",
+    cast_to_bigint: bool = False,
+) -> list[AggregateSpec]:
+    """'*'-expansion with type-driven pre-calc rewrites.
+
+    Reference analog: config_manager.build_config_column_aggregates +
+    pre-calc selection (reference config_manager.py:741-967):
+      string -> length(), binary -> byte_length(), timestamp/date ->
+      epoch_seconds() for sum/avg/bit_xor/std; int32 -> bigint when
+      ``cast_to_bigint`` (reference cli --cast-to-bigint).
+    min/max/count keep native types.
+    """
+    specs: list[AggregateSpec] = [AggregateSpec("count")]
+    fields = df.schema.fields
+    if columns != "*":
+        wanted = set(columns)
+        fields = [f for f in fields if f.name in wanted]
+    numericish = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    for f in fields:
+        dt = f.dataType
+        for agg in agg_types:
+            if agg == "count":
+                specs.append(AggregateSpec("count", f.name))
+                continue
+            precalc = None
+            if agg in ("sum", "avg", "std", "bit_xor"):
+                if isinstance(dt, T.StringType):
+                    precalc = "length"
+                elif isinstance(dt, T.BinaryType):
+                    precalc = "byte_length"
+                elif isinstance(
+                    dt, (T.TimestampType, T.TimestampNTZType, T.DateType)
+                ):
+                    precalc = "epoch_seconds"
+                elif isinstance(dt, T.IntegerType) and cast_to_bigint:
+                    precalc = "cast_bigint"
+                elif not isinstance(dt, numericish):
+                    continue  # e.g. boolean/array: no sum-family aggregate
+            elif agg in ("min", "max"):
+                pass  # native min/max for all orderable types
+            else:
+                continue
+            specs.append(AggregateSpec(agg, f.name, precalc=precalc))
+    return specs

@@ -1,0 +1,157 @@
+"""Sources: parquet/csv/json/orc readers, custom-query tables, and the
+deterministic transcripts derivation.
+
+Reference analogs:
+- table scan / FileSystem connection (reference data_validation/clients.py:
+  117-167) -> ``spark.read.<format>`` / ``spark.read.table``;
+- custom-query scan with lowercased columns (reference clients.py:170-176)
+  -> ``spark.sql`` + ``toDF(lowercased)``.
+
+Transcripts model (BASELINE.json input_hint):
+    (conv_id string, turn_idx int, role string, text string, tool string,
+     ts timestamp)
+derived 100% deterministically from the driver's ``events`` parquet so that a
+DuckDB oracle can materialize the byte-identical table from the same SQL
+template. The "target" variant injects deterministic defects (mutated text,
+dropped rows, nulled tools) keyed on event_id, exercising every fail path the
+reference's fixtures cover (FIXTURES.md F1).
+
+At 10^12-turn scale the same derivation is irrelevant — the engine reads an
+Iceberg/parquet transcripts table directly; these helpers exist for tests,
+oracles and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+TRANSCRIPT_TABLES = ("transcripts", "transcripts_target", "dim_conversations")
+
+# One SQL template, two dialects: {str} -> STRING (Spark) / VARCHAR (DuckDB).
+# Derivation notes:
+# - conv_id groups events by user; turn order = (ts, event_id), unique since
+#   event_id is unique -> stable turn ordering (window-ranked, BASELINE).
+# - role is a 4:4:1:1 enum keyed on event_id (user/assistant/system/tool).
+# - text concatenates event_type + props (deterministic pseudo-text).
+# - tool is NULL except for role='tool' rows (null-rate / IFNULL paths).
+_TRANSCRIPTS_TMPL = """
+SELECT
+  'c' || CAST(user_id AS {str}) AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS INTEGER) AS turn_idx,
+  CASE WHEN event_id % 10 < 4 THEN 'user'
+       WHEN event_id % 10 < 8 THEN 'assistant'
+       WHEN event_id % 10 < 9 THEN 'system'
+       ELSE 'tool' END AS role,
+  event_type || ' ' || props || ' u' || CAST(user_id AS {str})
+      || ' e' || CAST(event_id % 97 AS {str}) AS text,
+  CASE WHEN event_id % 10 = 9 THEN 'tool_' || CAST(event_id % 5 AS {str})
+       ELSE NULL END AS tool,
+  ts,
+  event_id
+FROM {events}
+"""
+
+# Target copy defects, keyed on the carried-through event_id:
+# - event_id % 211 = 0  -> row deleted            (outer-join-null fail)
+# - event_id % 193 = 0  -> text mutated           (row-hash fail)
+# - event_id % 177 = 5  -> tool nulled            (null-vs-value fail)
+_TARGET_TMPL = """
+SELECT
+  conv_id,
+  turn_idx,
+  role,
+  CASE WHEN event_id % 193 = 0 THEN text || ' MUTATED' ELSE text END AS text,
+  CASE WHEN event_id % 177 = 5 THEN NULL ELSE tool END AS tool,
+  ts,
+  event_id
+FROM ({base}) __t
+WHERE event_id % 211 <> 0
+"""
+
+# Conversation dimension for referential-integrity checks (FIXTURES.md F2):
+# deliberately EXCLUDES conv_ids of users with user_id % 53 = 7 so orphans
+# exist in the fact table.
+_DIM_CONV_TMPL = """
+SELECT
+  'c' || CAST(user_id AS {str}) AS conv_id,
+  'ch' || CAST(user_id % 7 AS {str}) AS channel,
+  MIN(ts) AS started_ts
+FROM {events}
+WHERE user_id % 53 <> 7
+GROUP BY user_id
+"""
+
+
+def transcripts_sql(dialect: str = "spark", events: str = "events") -> str:
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    return _TRANSCRIPTS_TMPL.format(str=str_t, events=events)
+
+
+def target_transcripts_sql(dialect: str = "spark", events: str = "events") -> str:
+    return _TARGET_TMPL.format(base=transcripts_sql(dialect, events))
+
+
+def dim_conversations_sql(dialect: str = "spark", events: str = "events") -> str:
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    return _DIM_CONV_TMPL.format(str=str_t, events=events)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan. Catalyst pushes filters/projections into the scan; at
+    production scale this is ``spark.read.table('catalog.db.transcripts')``
+    over Iceberg with partition pruning on day(ts)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register the driver testdata as temp views."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def register_transcripts(spark: SparkSession, sf_dir: str) -> None:
+    """Register transcripts / transcripts_target / dim_conversations views
+    derived from the events parquet (deterministic; oracle-replicable)."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(transcripts_sql("spark")).createOrReplaceTempView("transcripts")
+    spark.sql(target_transcripts_sql("spark")).createOrReplaceTempView(
+        "transcripts_target"
+    )
+    spark.sql(dim_conversations_sql("spark")).createOrReplaceTempView(
+        "dim_conversations"
+    )
+
+
+def duckdb_transcript_ctes(events: str = "events") -> str:
+    """WITH-clause header so oracle SQL can reference the same three views."""
+    return (
+        "WITH transcripts AS ({t}), transcripts_target AS ({tt}), "
+        "dim_conversations AS ({dc})"
+    ).format(
+        t=transcripts_sql("duckdb", events),
+        tt=target_transcripts_sql("duckdb", events),
+        dc=dim_conversations_sql("duckdb", events),
+    )
+
+
+def custom_query(spark: SparkSession, sql: str) -> DataFrame:
+    """Custom-query scan; lowercases result columns like the reference
+    (clients.py:170-176)."""
+    df = spark.sql(sql)
+    return df.toDF(*[c.lower() for c in df.columns])

@@ -1,0 +1,162 @@
+"""Row validation / uniqueness / referential tests on the deterministic
+transcripts fixtures (FIXTURES.md F1/F2 defect matrix)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from professional_services_data_validator_spark.operators.row_compare import (
+    row_compare,
+    row_compare_verdicts,
+    row_violations,
+)
+from professional_services_data_validator_spark.operators.uniqueness import (
+    uniqueness_verdict,
+    uniqueness_violations,
+)
+from professional_services_data_validator_spark.operators.referential import (
+    referential_verdict,
+    referential_violations,
+)
+
+
+def test_row_violations_on_transcripts(spark, transcripts):
+    tgt = spark.table("transcripts_target")
+    v = row_violations(
+        transcripts.drop("event_id"),
+        tgt.drop("event_id"),
+        ["conv_id", "turn_idx"],
+        hash_columns="*",
+    )
+    rows = v.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.violation_type, []).append(r)
+    # defects keyed on event_id: %211==0 deleted (incl. 0), %193==0 mutated,
+    # %177==5 tool nulled. sf0.001 events: event_id 0..999.
+    n_deleted = len([e for e in range(1000) if e % 211 == 0])
+    n_mutated = len(
+        [e for e in range(1000) if e % 193 == 0 and e % 211 != 0]
+    )
+    n_toolnull = len(
+        [
+            e
+            for e in range(1000)
+            if e % 177 == 5 and e % 211 != 0 and e % 193 != 0
+            and e % 10 == 9  # tool only non-null for role='tool' rows
+        ]
+    )
+    assert len(by_type["missing_in_target"]) == n_deleted
+    assert len(by_type.get("hash_mismatch", [])) == n_mutated + n_toolnull
+    assert "missing_in_source" not in by_type
+
+
+def test_row_compare_reference_report(spark, transcripts):
+    tgt = spark.table("transcripts_target")
+    rep = row_compare(
+        transcripts.drop("event_id"),
+        tgt.drop("event_id"),
+        ["conv_id", "turn_idx"],
+        hash_columns="*",
+    )
+    agg = (
+        rep.groupBy("validation_status").count().collect()
+    )
+    counts = {r.validation_status: r["count"] for r in agg}
+    total = transcripts.count()
+    n_deleted = len([e for e in range(1000) if e % 211 == 0])
+    n_mutated = len([e for e in range(1000) if e % 193 == 0 and e % 211 != 0])
+    n_toolnull = len(
+        [
+            e
+            for e in range(1000)
+            if e % 177 == 5 and e % 211 != 0 and e % 193 != 0 and e % 10 == 9
+        ]
+    )
+    n_mismatch = n_mutated + n_toolnull
+    # reference joins row validations on (pks..., hash__all)
+    # (combiner.py:267-272): a hash mismatch shows up as TWO fail rows
+    # (source-only + target-only), a deleted row as one fail row.
+    assert counts["success"] == total - n_deleted - n_mismatch
+    assert counts["fail"] == n_deleted + 2 * n_mismatch
+    one = rep.filter(F.col("validation_status") == "fail").first()
+    assert one.validation_name == "hash__all"
+    assert one.primary_keys in ("{conv_id, turn_idx}", None)
+
+
+def test_row_compare_verdicts_single_pass(spark, transcripts):
+    tgt = spark.table("transcripts_target")
+    v = row_compare_verdicts(
+        transcripts.drop("event_id"),
+        tgt.drop("event_id"),
+        ["conv_id", "turn_idx"],
+        partition_col=F.crc32(F.col("conv_id")) % 8,
+    ).collect()
+    assert sum(r.n_rows for r in v) == transcripts.count()
+    assert any(r.validation_status == "fail" for r in v)
+    # identical tables -> all partitions pass
+    v2 = row_compare_verdicts(
+        transcripts.drop("event_id"),
+        transcripts.drop("event_id"),
+        ["conv_id", "turn_idx"],
+        partition_col=F.crc32(F.col("conv_id")) % 8,
+    ).collect()
+    assert all(r.validation_status == "success" for r in v2)
+    assert sum(r.n_matched for r in v2) == transcripts.count()
+
+
+def test_comparison_fields_mode(spark):
+    src = spark.createDataFrame(
+        [Row(pk=1, a=10, b="x"), Row(pk=2, a=20, b="y")]
+    )
+    tgt = spark.createDataFrame(
+        [Row(pk=1, a=10, b="x"), Row(pk=2, a=99, b="y")]
+    )
+    from professional_services_data_validator_spark.config import (
+        ComparisonFieldSpec,
+    )
+
+    rep = row_compare(
+        src, tgt, ["pk"],
+        comparison_fields=[ComparisonFieldSpec("a"), ComparisonFieldSpec("b")],
+    )
+    rows = {(r.validation_name, r.group_by_columns): r for r in rep.collect()}
+    assert rows[("a", '{"pk": "1"}')].validation_status == "success"
+    assert rows[("a", '{"pk": "2"}')].validation_status == "fail"
+    assert rows[("b", '{"pk": "2"}')].validation_status == "success"
+
+
+def test_uniqueness(spark, transcripts):
+    clean = uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
+    assert clean.count() == 0
+    # inject duplicates deterministically
+    dups = transcripts.filter(F.col("event_id") % 101 == 3)
+    dirty = transcripts.unionByName(dups)
+    viol = uniqueness_violations(dirty, ["conv_id", "turn_idx"]).collect()
+    assert len(viol) == dups.count()
+    assert all(r.dup_count == 2 for r in viol)
+    verd = uniqueness_verdict(
+        dirty, ["conv_id", "turn_idx"], partition_col=F.crc32("conv_id") % 4
+    ).collect()
+    assert sum(r.n_dup_keys for r in verd) == len(viol)
+    assert any(r.validation_status == "fail" for r in verd)
+
+
+def test_referential(spark, transcripts):
+    dim = spark.table("dim_conversations")
+    orphans = referential_violations(transcripts, dim, "conv_id")
+    got = {r.conv_id for r in orphans.select("conv_id").distinct().collect()}
+    # dim excludes user_id % 53 == 7 (readers.py _DIM_CONV_TMPL)
+    expected = {f"c{u}" for u in range(150) if u % 53 == 7}
+    users_present = {
+        r.conv_id for r in transcripts.select("conv_id").distinct().collect()
+    }
+    assert got == expected & users_present
+    verd = referential_verdict(transcripts, dim, "conv_id").collect()
+    assert verd[0].n_orphans == orphans.count()
+    assert verd[0].validation_status == "fail"
+
+
+def test_referential_broadcast_plan(spark, transcripts):
+    dim = spark.table("dim_conversations")
+    plan = referential_violations(transcripts, dim, "conv_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
