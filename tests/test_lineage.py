@@ -1,0 +1,102 @@
+"""Lineage store: checkpoint, resume-skip, idempotent replay."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from professional_services_data_validator_spark.lineage import (
+    LineageStore,
+    config_hash,
+    resumable_run,
+)
+from professional_services_data_validator_spark.operators.row_compare import (
+    row_compare_verdicts,
+)
+
+
+def _day_verdicts(spark, src, tgt, days=None):
+    s, t = src.drop("event_id"), tgt.drop("event_id")
+    if days is not None:
+        s = s.filter(F.date_format("ts", "yyyy-MM-dd").isin(days))
+        t = t.filter(F.date_format("ts", "yyyy-MM-dd").isin(days))
+    return row_compare_verdicts(
+        s, t, ["conv_id", "turn_idx", "ts"],
+        partition_col=F.date_format("ts", "yyyy-MM-dd"),
+    )
+
+
+def test_checkpoint_and_resume(spark, transcripts):
+    tgt = spark.table("transcripts_target")
+    with tempfile.TemporaryDirectory() as d:
+        store = LineageStore(spark, d + "/lineage")
+        ch = config_hash({"check": "row_hash", "pks": ["conv_id", "turn_idx"]})
+
+        verdicts = _day_verdicts(spark, transcripts, tgt)
+        store.append_verdicts(verdicts, ch, "run-1", "row_compare")
+
+        n_days = verdicts.count()
+        passed = store.passed_partitions(ch, "row_compare")
+        n_passed = passed.count()
+        assert 0 < n_passed < n_days  # defect days fail, clean days pass
+
+        manifest = verdicts.select("partition_id")
+        pending = store.pending_partitions(manifest, ch, "row_compare")
+        assert pending.count() == n_days - n_passed
+
+        # different config hash -> nothing is skipped
+        other = config_hash({"check": "other"})
+        assert store.pending_partitions(manifest, other, "row_compare").count() == n_days
+
+
+def test_idempotent_replay_takes_latest(spark, transcripts):
+    tgt = spark.table("transcripts_target")
+    with tempfile.TemporaryDirectory() as d:
+        store = LineageStore(spark, d + "/lineage")
+        ch = config_hash({"v": 1})
+        v1 = _day_verdicts(spark, transcripts, tgt)
+        store.append_verdicts(v1, ch, "run-1", "row_compare")
+        # replay the same partitions against a FIXED target: all pass now
+        v2 = _day_verdicts(spark, transcripts, transcripts)
+        import time
+
+        time.sleep(1.1)  # ensure later ts wins
+        store.append_verdicts(v2, ch, "run-2", "row_compare")
+        passed = store.passed_partitions(ch, "row_compare")
+        assert passed.count() == v1.count()  # latest verdicts all success
+
+
+def test_resumable_run_skips_passed(spark, transcripts):
+    tgt = spark.table("transcripts_target")
+    with tempfile.TemporaryDirectory() as d:
+        store = LineageStore(spark, d + "/lineage")
+        ch = config_hash({"v": 2})
+        all_verdicts = _day_verdicts(spark, transcripts, tgt)
+        manifest = all_verdicts.select("partition_id")
+        ran_days = []
+
+        def run_fn(pending):
+            days = [r.partition_id for r in pending.collect()]
+            ran_days.append(days)
+            return _day_verdicts(spark, transcripts, tgt, days)
+
+        resumable_run(store, manifest, ch, "r1", "row_compare", run_fn)
+        first = set(ran_days[0])
+        assert len(first) == manifest.count()
+        resumable_run(store, manifest, ch, "r2", "row_compare", run_fn)
+        second = set(ran_days[1])
+        # second run touches only previously-failing partitions
+        assert second < first and len(second) > 0
+        failing = {
+            r.partition_id
+            for r in all_verdicts.filter(
+                F.col("validation_status") == "fail"
+            ).collect()
+        }
+        assert second == failing
+
+
+def test_empty_store_reads_empty(spark):
+    with tempfile.TemporaryDirectory() as d:
+        store = LineageStore(spark, d + "/nothing")
+        assert store.read().count() == 0
+        assert store.passed_partitions("x", "y").count() == 0
