@@ -1,38 +1,600 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry is an operator from SURVEY.md §2 / BASELINE.json
+implemented Spark-first in ``professional_services_data_validator_spark``;
+``oracle_sql()`` provides an exact DuckDB equivalent over the same parquet
+tables. Transcripts / transcripts_target / dim_conversations are DERIVED
+deterministically from the ``events`` view by a shared SQL template
+(professional_services_data_validator_spark/sources/readers.py), so both
+engines validate byte-identical inputs.
+
+Cross-engine value-hash discipline:
+- no raw timestamp columns in outputs (epoch bigints / date strings instead);
+- every float output rounded to a fixed decimal count on BOTH sides;
+- identical aliases in Spark code and oracle SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from professional_services_data_validator_spark.config import (  # noqa: E402
+    AggregateSpec,
+    ValidationConfig,
+    consts,
+)
+from professional_services_data_validator_spark.sources.readers import (  # noqa: E402
+    duckdb_transcript_ctes,
+    register_transcripts,
+    load_tables,
+)
+
+_CTES = duckdb_transcript_ctes()
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    load_tables(spark, sf_dir)
+    register_transcripts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 1. column stats: the single-pass hash-aggregate core (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q_col_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    t = spark.table("transcripts")
+    from professional_services_data_validator_spark.operators import column_stats
+
+    aggs = [
+        AggregateSpec("count"),
+        AggregateSpec("count", "tool", name="count_tool"),
+        AggregateSpec("min", "turn_idx", name="min_turn"),
+        AggregateSpec("max", "turn_idx", name="max_turn"),
+        AggregateSpec("sum", "turn_idx", name="sum_turn"),
+        AggregateSpec("sum", "text", precalc="length", name="sum_text_len"),
+        AggregateSpec("bit_xor", "event_id", name="xor_event"),
+        AggregateSpec("sum", "ts", precalc="epoch_seconds", name="sum_epoch"),
+    ]
+    out = column_stats(t, aggs)
+    return out.select(
+        F.col("count").alias("n_rows"),
+        "count_tool", "min_turn", "max_turn", "sum_turn",
+        "sum_text_len", "xor_event", "sum_epoch",
+        F.round(F.col("count") - F.col("count_tool"), 0).cast("long").alias(
+            "null_tool_rows"
+        ),
+    )
+
+
+_SQL_COL_STATS = f"""{_CTES}
+SELECT
+  count(*) AS n_rows,
+  count(tool) AS count_tool,
+  min(turn_idx) AS min_turn,
+  max(turn_idx) AS max_turn,
+  sum(turn_idx) AS sum_turn,
+  sum(length(text)) AS sum_text_len,
+  bit_xor(event_id) AS xor_event,
+  sum(CAST(floor(epoch(ts)) AS BIGINT)) AS sum_epoch,
+  count(*) - count(tool) AS null_tool_rows
+FROM transcripts
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. column validation report: full combiner semantics source vs target
+# ---------------------------------------------------------------------------
+
+def q_column_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark import run_validation
+
+    cfg = ValidationConfig(
+        validation_type=consts.COLUMN_VALIDATION,
+        source_table="transcripts",
+        target_table="transcripts_target",
+        aggregates=[
+            AggregateSpec("count"),
+            AggregateSpec("count", "tool"),
+            AggregateSpec("min", "turn_idx"),
+            AggregateSpec("max", "turn_idx"),
+            AggregateSpec("sum", "text", precalc="length"),
+        ],
+        threshold=1.0,
+    )
+    rep = run_validation(
+        cfg, spark.table("transcripts"), spark.table("transcripts_target")
+    )
+    return rep.select(
+        "validation_name",
+        "source_agg_value",
+        "target_agg_value",
+        F.round("difference", 4).alias("difference"),
+        F.round("pct_difference", 4).alias("pct_difference"),
+        F.round("pct_threshold", 4).alias("pct_threshold"),
+        "validation_status",
+    )
+
+
+# replicates combiner.py difference/threshold semantics in ANSI SQL
+_SQL_COLUMN_VALIDATION = f"""{_CTES},
+s AS (SELECT count(*) AS c, count(tool) AS ct, min(turn_idx) AS mn,
+             max(turn_idx) AS mx, sum(length(text)) AS sl FROM transcripts),
+t AS (SELECT count(*) AS c, count(tool) AS ct, min(turn_idx) AS mn,
+             max(turn_idx) AS mx, sum(length(text)) AS sl FROM transcripts_target),
+pairs AS (
+  SELECT 'count' AS validation_name, s.c AS sv, t.c AS tv FROM s, t
+  UNION ALL SELECT 'count__tool', s.ct, t.ct FROM s, t
+  UNION ALL SELECT 'min__turn_idx', s.mn, t.mn FROM s, t
+  UNION ALL SELECT 'max__turn_idx', s.mx, t.mx FROM s, t
+  UNION ALL SELECT 'sum__text', s.sl, t.sl FROM s, t
+),
+d AS (
+  SELECT validation_name,
+    CAST(sv AS VARCHAR) AS source_agg_value,
+    CAST(tv AS VARCHAR) AS target_agg_value,
+    CAST(tv - sv AS DOUBLE) AS diff,
+    CASE WHEN tv - sv = 0 THEN 0.0
+         ELSE 100.0 * CAST(CAST(tv - sv AS REAL) AS DOUBLE)
+              / (CASE WHEN sv = 0 THEN tv ELSE sv END) END AS pct
+  FROM pairs)
+SELECT validation_name, source_agg_value, target_agg_value,
+  round(diff, 4) AS difference,
+  round(pct, 4) AS pct_difference,
+  CAST(1.0 AS DOUBLE) AS pct_threshold,
+  CASE WHEN abs(pct) - 1.0 > 0.0 THEN 'fail' ELSE 'success' END
+    AS validation_status
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. grouped validation by day: per-partition verdicts (GroupedColumn)
+# ---------------------------------------------------------------------------
+
+def q_grouped_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark import run_validation
+
+    cfg = ValidationConfig(
+        validation_type=consts.GROUPED_COLUMN_VALIDATION,
+        source_table="transcripts",
+        target_table="transcripts_target",
+        aggregates=[
+            AggregateSpec("count"),
+            AggregateSpec("sum", "text", precalc="length"),
+        ],
+        group_by=["ts"],
+    )
+    rep = run_validation(
+        cfg, spark.table("transcripts"), spark.table("transcripts_target")
+    )
+    return rep.select(
+        "validation_name",
+        "group_by_columns",
+        "source_agg_value",
+        "target_agg_value",
+        F.round("difference", 4).alias("difference"),
+        "validation_status",
+    )
+
+
+_SQL_GROUPED_VALIDATION = f"""{_CTES},
+s AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c, sum(length(text)) AS sl
+      FROM transcripts GROUP BY 1),
+t AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c, sum(length(text)) AS sl
+      FROM transcripts_target GROUP BY 1),
+j AS (SELECT coalesce(s.d, t.d) AS d, s.c AS sc, t.c AS tc,
+             s.sl AS ssl, t.sl AS tsl,
+             s.d IS NOT NULL AS sp, t.d IS NOT NULL AS tp
+      FROM s FULL OUTER JOIN t ON s.d = t.d),
+m AS (
+  SELECT 'count' AS validation_name, d, sp, tp,
+         CAST(sc AS VARCHAR) AS sv, CAST(tc AS VARCHAR) AS tv,
+         CAST(tc - sc AS DOUBLE) AS diff FROM j
+  UNION ALL
+  SELECT 'sum__text', d, sp, tp, CAST(ssl AS VARCHAR), CAST(tsl AS VARCHAR),
+         CAST(tsl - ssl AS DOUBLE) FROM j)
+SELECT validation_name,
+  '{{"ts": "' || CAST(d AS VARCHAR) || '"}}' AS group_by_columns,
+  CASE WHEN sp THEN sv END AS source_agg_value,
+  CASE WHEN tp THEN tv END AS target_agg_value,
+  round(CASE WHEN sp AND tp THEN diff END, 4) AS difference,
+  CASE WHEN sp AND tp THEN (CASE WHEN diff = 0 THEN 'success' ELSE 'fail' END)
+       ELSE 'fail' END AS validation_status
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. row-hash violations (Row validation scale path)
+# ---------------------------------------------------------------------------
+
+def _with_epoch(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+def q_row_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import row_violations
+
+    src = _with_epoch(spark.table("transcripts")).drop("ts", "event_id")
+    tgt = _with_epoch(spark.table("transcripts_target")).drop("ts", "event_id")
+    return row_violations(
+        src, tgt, ["conv_id", "turn_idx"],
+        hash_columns=["role", "text", "tool", "ts_us"],
+    ).orderBy("conv_id", "turn_idx")
+
+
+_SQL_ROW_VIOLATIONS = f"""{_CTES},
+sh AS (SELECT conv_id, turn_idx,
+  sha256(rtrim(coalesce(CAST(role AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(text AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(tool AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(epoch_us(ts) AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+  ) AS h FROM transcripts),
+th AS (SELECT conv_id, turn_idx,
+  sha256(rtrim(coalesce(CAST(role AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(text AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(tool AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(epoch_us(ts) AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+  ) AS h FROM transcripts_target)
+SELECT coalesce(sh.conv_id, th.conv_id) AS conv_id,
+  coalesce(sh.turn_idx, th.turn_idx) AS turn_idx,
+  CASE WHEN th.conv_id IS NULL THEN 'missing_in_target'
+       WHEN sh.conv_id IS NULL THEN 'missing_in_source'
+       WHEN sh.h <> th.h THEN 'hash_mismatch' END AS violation_type,
+  sh.h AS source_hash, th.h AS target_hash
+FROM sh FULL OUTER JOIN th
+  ON sh.conv_id = th.conv_id AND sh.turn_idx = th.turn_idx
+WHERE th.conv_id IS NULL OR sh.conv_id IS NULL OR sh.h <> th.h
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. uniqueness violations on (conv_id, turn_idx)
+# ---------------------------------------------------------------------------
+
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import (
+        uniqueness_violations,
+    )
+
+    t = spark.table("transcripts")
+    dirty = t.unionByName(t.filter(F.col("event_id") % 101 == 3))
+    return uniqueness_violations(dirty, ["conv_id", "turn_idx"]).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+_SQL_UNIQUENESS = f"""{_CTES},
+dirty AS (SELECT * FROM transcripts
+          UNION ALL SELECT * FROM transcripts WHERE event_id % 101 = 3)
+SELECT conv_id, turn_idx, count(*) AS dup_count
+FROM dirty GROUP BY conv_id, turn_idx HAVING count(*) > 1
+ORDER BY conv_id, turn_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. referential integrity: orphan conv_ids (broadcast left-anti)
+# ---------------------------------------------------------------------------
+
+def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import (
+        referential_violations,
+    )
+
+    orphans = referential_violations(
+        spark.table("transcripts"), spark.table("dim_conversations"), "conv_id"
+    )
+    return (
+        orphans.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("orphan_rows"))
+        .orderBy("conv_id")
+    )
+
+
+_SQL_REFERENTIAL = f"""{_CTES}
+SELECT conv_id, count(*) AS orphan_rows
+FROM transcripts
+WHERE conv_id NOT IN (SELECT conv_id FROM dim_conversations)
+GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. PSI drift on role frequencies
+# ---------------------------------------------------------------------------
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import psi
+
+    # target with a deterministic role skew so PSI is nonzero
+    tgt = spark.table("transcripts_target").withColumn(
+        "role",
+        F.when(F.col("event_id") % 7 == 0, F.lit("assistant")).otherwise(
+            F.col("role")
+        ),
+    )
+    out = psi(spark.table("transcripts"), tgt, F.col("role"))
+    return out.select(F.round("psi", 6).alias("psi"))
+
+
+_SQL_DRIFT_PSI = f"""{_CTES},
+tgt AS (SELECT CASE WHEN event_id % 7 = 0 THEN 'assistant' ELSE role END AS role
+        FROM transcripts_target),
+u AS (
+  SELECT v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT role AS v, 1 AS ns, 0 AS nt FROM transcripts
+    UNION ALL SELECT role, 0, 1 FROM tgt) z
+  GROUP BY v),
+tot AS (SELECT sum(n_s) AS ts, sum(n_t) AS tt FROM u),
+p AS (SELECT greatest(n_s * 1.0 / ts, 1e-6) AS p,
+             greatest(n_t * 1.0 / tt, 1e-6) AS q FROM u, tot)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. exact KS drift on turn text length
+# ---------------------------------------------------------------------------
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        ks_statistic,
+    )
+
+    out = ks_statistic(
+        spark.table("transcripts"),
+        spark.table("transcripts_target"),
+        F.length("text"),
+    )
+    return out.select(
+        F.round("ks_stat", 6).alias("ks_stat"), "n_source", "n_target"
+    )
+
+
+_SQL_DRIFT_KS = f"""{_CTES},
+u AS (
+  SELECT v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT length(text) AS v, 1 AS ns, 0 AS nt FROM transcripts
+    UNION ALL SELECT length(text), 0, 1 FROM transcripts_target) z
+  GROUP BY v),
+c AS (SELECT
+   sum(n_s) OVER (ORDER BY v) AS cs, sum(n_t) OVER (ORDER BY v) AS ct,
+   sum(n_s) OVER () AS tot_s, sum(n_t) OVER () AS tot_t FROM u)
+SELECT round(max(abs(cs * 1.0 / tot_s - ct * 1.0 / tot_t)), 6) AS ks_stat,
+       max(tot_s) AS n_source, max(tot_t) AS n_target
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. partition boundary planning (generate-table-partitions)
+# ---------------------------------------------------------------------------
+
+def q_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import (
+        partition_boundaries,
+    )
+
+    return partition_boundaries(
+        spark.table("transcripts"), ["conv_id", "turn_idx"], 8
+    )
+
+
+_SQL_PARTITION_BOUNDARIES = f"""{_CTES},
+b AS (SELECT conv_id, turn_idx,
+        row_number() OVER (ORDER BY conv_id, turn_idx) AS rn,
+        count(*) OVER () AS cnt
+      FROM transcripts)
+SELECT CAST((rn - 1) / CAST(ceil(cnt / 8.0) AS BIGINT) AS INTEGER)
+         AS partition_idx,
+       conv_id, turn_idx
+FROM b WHERE (rn - 1) % CAST(ceil(cnt / 8.0) AS BIGINT) = 0
+ORDER BY partition_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. salted two-phase aggregation == direct aggregation (skew path)
+# ---------------------------------------------------------------------------
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import salted_agg
+
+    t2 = spark.table("transcripts").withColumn("text_len", F.length("text"))
+    out = salted_agg(
+        t2,
+        ["conv_id"],
+        {
+            "n_turns": ("count", None),
+            "sum_turn": ("sum", "turn_idx"),
+            "avg_text_len": ("avg", "text_len"),
+            "max_turn": ("max", "turn_idx"),
+        },
+        n_salts=16,
+        salt_source=F.pmod(F.col("event_id"), F.lit(16)),
+    )
+    return out.select(
+        "conv_id", "n_turns", "sum_turn",
+        F.round("avg_text_len", 4).alias("avg_text_len"), "max_turn",
+    ).orderBy("conv_id")
+
+
+_SQL_SALTED_AGG = f"""{_CTES}
+SELECT conv_id, count(*) AS n_turns, sum(turn_idx) AS sum_turn,
+       round(avg(length(text)), 4) AS avg_text_len,
+       max(turn_idx) AS max_turn
+FROM transcripts GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. deterministic random-row sampling (random-row validation)
+# ---------------------------------------------------------------------------
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import (
+        deterministic_sample,
+    )
+
+    return deterministic_sample(
+        spark.table("transcripts").select("conv_id", "turn_idx", "role"),
+        ["conv_id", "turn_idx"],
+        n=100,
+    ).orderBy("conv_id", "turn_idx")
+
+
+_SQL_SAMPLE = f"""{_CTES},
+h AS (SELECT conv_id, turn_idx, role,
+        md5('42' || '|' || conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS hh
+      FROM transcripts)
+SELECT conv_id, turn_idx, role FROM h
+ORDER BY hh, conv_id, turn_idx LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. custom-query validation (SQL both sides; reference clients.py:170-176)
+# ---------------------------------------------------------------------------
+
+def q_custom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark import run_validation
+
+    cfg = ValidationConfig(
+        validation_type=consts.CUSTOM_QUERY,
+        source_table=(
+            "SELECT role, count(*) AS n FROM transcripts GROUP BY role"
+        ),
+        target_table=(
+            "SELECT role, count(*) AS n FROM transcripts_target GROUP BY role"
+        ),
+        aggregates=[AggregateSpec("sum", "n", name="sum_n"),
+                    AggregateSpec("count", name="count")],
+    )
+    rep = run_validation(cfg, spark=spark)
+    return rep.select(
+        "validation_name", "source_agg_value", "target_agg_value",
+        "validation_status",
+    ).orderBy("validation_name")
+
+
+_SQL_CUSTOM_QUERY = f"""{_CTES},
+s AS (SELECT count(*) AS c, sum(n) AS sn FROM
+      (SELECT role, count(*) AS n FROM transcripts GROUP BY role) z),
+t AS (SELECT count(*) AS c, sum(n) AS sn FROM
+      (SELECT role, count(*) AS n FROM transcripts_target GROUP BY role) z)
+SELECT 'count' AS validation_name, CAST(s.c AS VARCHAR) AS source_agg_value,
+       CAST(t.c AS VARCHAR) AS target_agg_value,
+       CASE WHEN s.c = t.c THEN 'success' ELSE 'fail' END AS validation_status
+FROM s, t
+UNION ALL
+SELECT 'sum_n', CAST(s.sn AS VARCHAR), CAST(t.sn AS VARCHAR),
+       CASE WHEN s.sn = t.sn THEN 'success' ELSE 'fail' END
+FROM s, t
+ORDER BY validation_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. schema validation (catalog-introspected, casefolded)
+# ---------------------------------------------------------------------------
+
+def q_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.schema_validation import (
+        schema_validation_report,
+    )
+
+    rep = schema_validation_report(
+        spark,
+        spark.table("transcripts"),
+        spark.table("transcripts_target"),
+        source_table="transcripts",
+        target_table="transcripts_target",
+    )
+    return rep.select(
+        "source_column_name",
+        "target_column_name",
+        F.col("source_agg_value").alias("source_type"),
+        F.col("target_agg_value").alias("target_type"),
+        "validation_status",
+    ).orderBy("source_column_name")
+
+
+_SQL_SCHEMA_VALIDATION = f"""{_CTES},
+cols AS (
+  SELECT lower(column_name) AS c,
+    CASE lower(column_type)
+      WHEN 'integer' THEN 'int' WHEN 'varchar' THEN 'string'
+      WHEN 'timestamp' THEN 'timestamp' ELSE lower(column_type) END AS t
+  FROM (DESCRIBE SELECT * FROM transcripts))
+SELECT c AS source_column_name, c AS target_column_name,
+       t AS source_type, t AS target_type,
+       'success' AS validation_status
+FROM cols ORDER BY c
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: grouped per-day validation verdicts at sf0.001."""
+    return q_grouped_validation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "col_stats_transcripts": q_col_stats,
+        "column_validation_report": q_column_validation,
+        "grouped_validation_by_day": q_grouped_validation,
+        "row_hash_violations": q_row_violations,
+        "uniqueness_violations": q_uniqueness,
+        "referential_orphans": q_referential,
+        "drift_psi_role": q_drift_psi,
+        "drift_ks_textlen": q_drift_ks,
+        "partition_boundaries": q_partition_boundaries,
+        "salted_agg_parity": q_salted_agg,
+        "deterministic_sample": q_sample,
+        "custom_query_validation": q_custom_query,
+        "schema_validation": q_schema_validation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "col_stats_transcripts": _SQL_COL_STATS,
+        "column_validation_report": _SQL_COLUMN_VALIDATION,
+        "grouped_validation_by_day": _SQL_GROUPED_VALIDATION,
+        "row_hash_violations": _SQL_ROW_VIOLATIONS,
+        "uniqueness_violations": _SQL_UNIQUENESS,
+        "referential_orphans": _SQL_REFERENTIAL,
+        "drift_psi_role": _SQL_DRIFT_PSI,
+        "drift_ks_textlen": _SQL_DRIFT_KS,
+        "partition_boundaries": _SQL_PARTITION_BOUNDARIES,
+        "salted_agg_parity": _SQL_SALTED_AGG,
+        "deterministic_sample": _SQL_SAMPLE,
+        "custom_query_validation": _SQL_CUSTOM_QUERY,
+        "schema_validation": _SQL_SCHEMA_VALIDATION,
+    }
