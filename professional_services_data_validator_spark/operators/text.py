@@ -1,0 +1,160 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+BASELINE training-data extensions; no reference analog (closest: the
+reference's length() pre-calc, query_builder.py:353-359). Everything is
+built-in Spark SQL functions — regexp/split/aggregate — fully JVM-side and
+engine-portable for DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# The synthetic corpus is English-ish word salad for every lang label; the
+# operator demonstrates the mechanics (profile scoring + argmax) that a real
+# corpus would exercise.
+LANG_PROFILES = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def _token_count(text: Column) -> Column:
+    """Whitespace token count, safe on empty strings."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, " +"))
+    )
+
+
+def token_count(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate.
+
+    bpe_est: words + extra splits for long words (a word of length L costs
+    ceil(L/4) subword tokens — a cheap stand-in for BPE vocab behavior,
+    computed as an array fold, no UDF).
+    """
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        _token_count(F.col(text_col)).alias("n_tokens"),
+        bpe.alias("bpe_est"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Heuristic quality features + composite score in [0,1].
+
+    Features: token count, mean word length, punctuation ratio, stopword
+    ratio, uppercase ratio. Score: product of squashed feature terms —
+    deterministic arithmetic, rounded 6dp.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    n_toks = _token_count(text).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    ).cast("double")
+    n_upper = (
+        n_chars - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    ).cast("double")
+    # stopword hits: count occurrences of ' the ', ' a ', ... in padded text
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop_hits = sum(
+        (
+            (
+                F.length(padded)
+                - F.length(F.regexp_replace(padded, f" {w} ", " "))
+            )
+            / F.lit(len(w) + 1)
+        ).cast("double")
+        for w in LANG_PROFILES["en"]
+    )
+    mean_word_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, stop_hits / n_toks).otherwise(F.lit(0.0))
+    length_term = F.least(n_toks / F.lit(20.0), F.lit(1.0))
+    wordlen_term = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_term = F.lit(1.0) - F.least(punct_ratio * 5, F.lit(0.5))
+    score = length_term * wordlen_term * punct_term * (
+        F.lit(0.5) + F.least(stop_ratio * 2, F.lit(0.5))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(n_toks, 0).cast("long").alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Stopword-profile language ID: argmax over per-language hit counts.
+
+    Emits (id, pred_lang, best_hits). Ties resolved by language code order
+    (deterministic). The hit count for language L = number of L-stopword
+    occurrences as whole tokens.
+    """
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        hits = sum(
+            (
+                (
+                    F.length(padded)
+                    - F.length(F.regexp_replace(padded, f" {w} ", " "))
+                )
+                / F.lit(len(w) + 1)
+            ).cast("long")
+            for w in words
+        )
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col).alias("id"),
+        best.getField("lang").alias("pred_lang"),
+        best.getField("hits").alias("best_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, bottom: int = 4
+) -> DataFrame:
+    """Bottom-k sketch fingerprint (winnowing-style document signature).
+
+    md5 each word k-gram, keep the ``bottom`` lexicographically smallest
+    digests, join with '|'. Equal fingerprints => near-identical documents;
+    the bottom-k sketch is also a locality-sensitive Jaccard estimator
+    (Broder's bottom-k minwise sketch). Built-ins only.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))
+    fp = F.array_join(F.slice(F.array_sort(grams), 1, bottom), "|")
+    return df.select(
+        F.col(id_col).alias("id"), F.md5(fp).alias("fingerprint")
+    )

@@ -45,10 +45,24 @@ def get_spark(
         # parquet scans: split files so local[N] gets N-way scan parallelism
         # even for single-file tables (driver testdata is one file per table).
         .config("spark.sql.files.maxPartitionBytes", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor. Fixed-size, pre-touched
+        # heap: lazy heap growth faults in pages mid-query (kernel time
+        # spikes to 90% on this microVM); pre-touching moves that cost to
+        # session startup. On a real cluster spark-submit overrides these.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '20g')} "
+            "-XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     )
+    # sandbox: shuffle scratch on tmpfs — the VM's virtio disk writeback
+    # stalls dominate shuffle-heavy stages otherwise. On a real cluster
+    # spark.local.dir points at executor-local NVMe instead.
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

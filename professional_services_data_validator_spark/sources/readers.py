@@ -125,17 +125,51 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
-def register_transcripts(spark: SparkSession, sf_dir: str) -> None:
+def replicate_events(events: DataFrame, factor: int):
+    """Deterministically scale the events table by ``factor`` inside Spark:
+    each replica shifts user_id/event_id into a disjoint range, so
+    conversation-size distribution is preserved while conversation count
+    scales. Used by the bench scaling protocol to get compute-bound inputs
+    without external data."""
+    from pyspark.sql import functions as F
+
+    r = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+    rep = events.select("*", r)
+    rl = F.col("__r").cast("long")
+    return rep.select(
+        (F.col("event_id") + rl * F.lit(1_000_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + rl * F.lit(1_000_000)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(64, "user_id")
+
+
+def register_transcripts(
+    spark: SparkSession, sf_dir: str, cache: bool = False, replicate: int = 1
+) -> None:
     """Register transcripts / transcripts_target / dim_conversations views
-    derived from the events parquet (deterministic; oracle-replicable)."""
-    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    spark.sql(transcripts_sql("spark")).createOrReplaceTempView("transcripts")
-    spark.sql(target_transcripts_sql("spark")).createOrReplaceTempView(
-        "transcripts_target"
-    )
-    spark.sql(dim_conversations_sql("spark")).createOrReplaceTempView(
-        "dim_conversations"
-    )
+    derived from the events parquet (deterministic; oracle-replicable).
+
+    ``cache=True`` persists the derived tables (MEMORY_AND_DISK): in
+    production the transcripts table is a stored Iceberg table, so the
+    benchmark measures validation work, not fixture re-derivation.
+    """
+    events = read_table(spark, sf_dir, "events")
+    if replicate > 1:
+        events = replicate_events(events, replicate)
+    events.createOrReplaceTempView("events")
+    views = {
+        "transcripts": transcripts_sql("spark"),
+        "transcripts_target": target_transcripts_sql("spark"),
+        "dim_conversations": dim_conversations_sql("spark"),
+    }
+    for name, sql in views.items():
+        df = spark.sql(sql)
+        if cache:
+            df = df.persist()
+        df.createOrReplaceTempView(name)
 
 
 def duckdb_transcript_ctes(events: str = "events") -> str:

@@ -1,0 +1,242 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from professional_services_data_validator_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    lsh_candidates,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from professional_services_data_validator_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    label_centroids,
+)
+from professional_services_data_validator_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from professional_services_data_validator_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    media_metadata,
+    synthesize_media,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup ----
+
+def test_exact_dedup(spark, transcripts):
+    # transcripts text repeats (event_type + props combos); verify drop set
+    drops = exact_dedup(transcripts, "text", ["conv_id", "turn_idx"])
+    n_rows = transcripts.count()
+    n_distinct = transcripts.select("text").distinct().count()
+    assert drops.count() == n_rows - n_distinct
+    # keeper not in drop set: smallest (conv_id, turn_idx) per text kept
+    assert drops.filter(F.col("keep_rank") == 1).count() == 0
+
+
+def test_shingles_and_signatures(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="a b c d e"),
+         Row(doc_id=3, text="z y x w v")]
+    )
+    sh = shingles(df, "doc_id", "text", k=3)
+    assert sh.filter(F.col("id") == 1).count() == 3  # 5-3+1
+    sig = minhash_signatures(sh, num_hashes=8)
+    rows = {r.id: r for r in sig.collect()}
+    # identical docs -> identical signatures
+    assert [rows[1][f"mh_{j}"] for j in range(8)] == [
+        rows[2][f"mh_{j}"] for j in range(8)
+    ]
+    assert [rows[1][f"mh_{j}"] for j in range(8)] != [
+        rows[3][f"mh_{j}"] for j in range(8)
+    ]
+
+
+def test_minhash_lsh_finds_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # construct guaranteed near-dups: append one token to a copy
+    base = docs.limit(20).select("doc_id", "text")
+    copies = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = base.unionByName(copies)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # every (i, i+100000) pair should surface with high jaccard
+    expected = {(r.doc_id, r.doc_id + 100000) for r in base.collect()}
+    assert expected <= found
+    assert all(r.jaccard > 0.8 for r in pairs if (r.id_a, r.id_b) in expected)
+
+
+def test_lsh_no_quadratic_blowup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    cand = lsh_candidates(sig, num_hashes=16, bands=4)
+    n_docs = docs.count()
+    # candidates must be a small fraction of the n^2/2 pair space
+    assert cand.count() < n_docs * n_docs / 20
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),
+            Row(doc_id=2, text="the quick brown fox leaps"),
+            Row(doc_id=3, text="completely different content here now"),
+        ]
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.1)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    # doc1: {the quick, quick brown, brown fox, fox jumps}
+    # doc2: {the quick, quick brown, brown fox, fox leaps} -> 3/5
+    assert math.isclose(got[(1, 2)], 0.6, abs_tol=1e-9)
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_near_pairs(spark):
+    rows = [Row(doc_id=i, text=f"shared tokens alpha beta gamma delta w{i}")
+            for i in range(6)]
+    rows.append(Row(doc_id=99, text="entirely unrelated vocabulary zeta"))
+    df = spark.createDataFrame(rows)
+    sim = simhash(df, "doc_id", "text", bits=16)
+    vals = {r.id: r.simhash for r in sim.collect()}
+    assert all(0 <= v < 2**16 for v in vals.values())
+    pairs = simhash_near_pairs(sim, max_hamming=3, bits=16).collect()
+    ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert len(pairs) > 0
+    # near-identical docs cluster; the outlier shouldn't pair with everyone
+    assert sum(1 for r in pairs if 99 in (r.id_a, r.id_b)) < 6
+
+
+# ------------------------------------------------------------ similarity ----
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    topk = brute_force_topk(emb, q, k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != qid for r in rows)
+        assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, nprobe=3).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # random embeddings: labels are weak clusters
+    # candidate scan is bounded: nprobe/|labels| of the corpus per query
+    cents = label_centroids(emb)
+    assert cents.count() == 10
+    assert len(cents.first().centroid) == 64
+
+
+# ------------------------------------------------------------------ text ----
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="one two three"), Row(doc_id=2, text=""),
+         Row(doc_id=3, text="  padded   spaces  ")]
+    )
+    rows = {r.id: r for r in token_count(df, "doc_id", "text").collect()}
+    assert rows[1].n_tokens == 3
+    assert rows[2].n_tokens == 0
+    assert rows[3].n_tokens == 2
+    assert rows[1].bpe_est == 4  # one(1) + two(1) + three(2 subwords)
+
+
+def test_quality_score(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs, "doc_id", "text")
+    rows = q.collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+    # degenerate text scores lower than real text
+    bad = spark.createDataFrame([Row(doc_id=1, text="x. .. !!")])
+    bscore = quality_score(bad, "doc_id", "text").first().quality_score
+    good_avg = q.agg(F.avg("quality_score")).first()[0]
+    assert bscore < good_avg
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog of a house"),
+            Row(doc_id=2, text="der Hund und die Katze und das Haus"),
+            Row(doc_id=3, text="el perro y la casa de que si"),
+        ]
+    )
+    rows = {r.id: r.pred_lang for r in language_id(df, "doc_id", "text").collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "es"
+
+
+def test_fingerprint_stability(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    fp1 = {r.id: r.fingerprint for r in fingerprint(docs, "doc_id", "text").collect()}
+    fp2 = {
+        r.id: r.fingerprint
+        for r in fingerprint(docs.repartition(7), "doc_id", "text").collect()
+    }
+    assert fp1 == fp2  # partitioning-independent
+    # identical docs get identical fingerprints; distinct docs mostly differ
+    assert len(set(fp1.values())) > len(fp1) * 0.9
+
+
+# ------------------------------------------------------------- multimodal ----
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = synthesize_media(docs, "doc_id", "text")
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = media_metadata(media).collect()
+    assert all(r.payload_bytes == 16 for r in meta)  # md5 = 16 bytes
+    decoded = decode_media(media).collect()
+    assert len(decoded) == docs.count()
+    assert all(r.width > 0 and r.height > 0 for r in decoded)
+    assert all(0.0 <= r.mean_px <= 1.0 for r in decoded)
+    # deterministic: same input -> same decode
+    d2 = decode_media(media).collect()
+    assert sorted((r.id, r.mean_px) for r in decoded) == sorted(
+        (r.id, r.mean_px) for r in d2
+    )
+    plan = frame_sample_plan(media, every_n=10).collect()
+    assert all(r.frame_indices[0] == 0 for r in plan)
+    assert all(len(r.frame_indices) >= 1 for r in plan)
