@@ -576,7 +576,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out = dict(_TRAINING_QUERIES)
+    out.update({
         "col_stats_transcripts": q_col_stats,
         "column_validation_report": q_column_validation,
         "grouped_validation_by_day": q_grouped_validation,
@@ -590,11 +591,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_sample,
         "custom_query_validation": q_custom_query,
         "schema_validation": q_schema_validation,
-    }
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = dict(_TRAINING_ORACLES)
+    out.update({
         "col_stats_transcripts": _SQL_COL_STATS,
         "column_validation_report": _SQL_COLUMN_VALIDATION,
         "grouped_validation_by_day": _SQL_GROUPED_VALIDATION,
@@ -608,4 +611,266 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": _SQL_SAMPLE,
         "custom_query_validation": _SQL_CUSTOM_QUERY,
         "schema_validation": _SQL_SCHEMA_VALIDATION,
-    }
+    })
+    return out
+
+
+# ===========================================================================
+# Training-data pipeline queries (dedup / similarity / text analysis)
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    return exact_dedup(
+        spark.table("transcripts"), "text", ["conv_id", "turn_idx"]
+    ).orderBy("conv_id", "turn_idx")
+
+
+_SQL_DEDUP_EXACT = f"""{_CTES},
+h AS (SELECT conv_id, turn_idx, md5(text) AS text_hash,
+        row_number() OVER (PARTITION BY md5(text)
+                           ORDER BY conv_id, turn_idx) AS keep_rank
+      FROM transcripts)
+SELECT conv_id, turn_idx, text_hash, keep_rank
+FROM h WHERE keep_rank > 1 ORDER BY conv_id, turn_idx
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.table("documents")
+    sh = shingles(docs, "doc_id", "text", k=3)
+    return minhash_signatures(sh, num_hashes=4).orderBy("id")
+
+
+_SQL_MINHASH = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i))
+SELECT id,
+  min(md5('0|' || shingle)) AS mh_0,
+  min(md5('1|' || shingle)) AS mh_1,
+  min(md5('2|' || shingle)) AS mh_2,
+  min(md5('3|' || shingle)) AS mh_3
+FROM sh GROUP BY id ORDER BY id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=2, threshold=0.05
+    ).orderBy("id_a", "id_b")
+
+
+_SQL_NGRAM_JACCARD = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+toks AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS t FROM docs),
+sh AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+  round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.05
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import simhash
+
+    return simhash(spark.table("documents"), "doc_id", "text", bits=16).orderBy(
+        "id"
+    )
+
+
+_SQL_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id AS id, md5(u.t) AS h
+  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(t)),
+votes AS (
+  SELECT id, count(*) AS n,
+    {sums}
+  FROM tok GROUP BY id)
+SELECT id, CAST({bits_expr} AS BIGINT) AS simhash FROM votes ORDER BY id
+""".format(
+    sums=",\n    ".join(
+        f"sum(ascii(substring(h, {i + 1}, 1)) % 2) AS s{i}" for i in range(16)
+    ),
+    bits_expr=" + ".join(
+        f"(CASE WHEN s{i} * 2 > n THEN {2**i} ELSE 0 END)" for i in range(16)
+    ),
+)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
+# rank only (not score): float cosine ranks are stable cross-engine but the
+# raw score's last bits are not; list_cosine_similarity vs explicit fold
+# agree to ~1e-15, far below rank-flip risk on random embeddings.
+_SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id)
+      AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        token_count,
+    )
+
+    return token_count(spark.table("documents"), "doc_id", "text").orderBy("id")
+
+
+_SQL_TOKEN_COUNT = """
+WITH t AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS toks,
+                  length(text) AS n_chars
+           FROM documents)
+SELECT id,
+  CASE WHEN array_to_string(toks, '') = '' THEN 0 ELSE len(toks) END
+    AS n_tokens,
+  CAST(coalesce(list_sum(list_transform(toks,
+        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
+    AS bpe_est,
+  n_chars
+FROM t ORDER BY id
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        language_id,
+    )
+
+    return language_id(spark.table("documents"), "doc_id", "text").orderBy("id")
+
+
+def _langid_hits_sql(words):
+    terms = []
+    for w in words:
+        terms.append(
+            "CAST((length(p) - length(replace(p, ' {w} ', ' ')))"
+            " / {dl} AS BIGINT)".format(w=w, dl=len(w) + 1)
+        )
+    return " + ".join(terms)
+
+
+_SQL_LANGID = """
+WITH p0 AS (SELECT doc_id AS id, ' ' || text || ' ' AS p FROM documents),
+scored AS (
+  {unions}
+),
+ranked AS (SELECT id, lang, hits,
+    row_number() OVER (PARTITION BY id ORDER BY hits DESC, lang DESC) AS rn
+  FROM scored)
+SELECT id, lang AS pred_lang, hits AS best_hits
+FROM ranked WHERE rn = 1 ORDER BY id
+""".format(
+    unions="\n  UNION ALL ".join(
+        "SELECT id, '{lang}' AS lang, {expr} AS hits FROM p0".format(
+            expr=_langid_hits_sql(words), lang=lang
+        )
+        for lang, words in sorted(
+            __import__(
+                "professional_services_data_validator_spark.operators.text",
+                fromlist=["LANG_PROFILES"],
+            ).LANG_PROFILES.items()
+        )
+    )
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        fingerprint,
+    )
+
+    return fingerprint(spark.table("documents"), "doc_id", "text").orderBy("id")
+
+
+_SQL_FINGERPRINT = """
+WITH toks AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS t
+              FROM documents),
+grams AS (
+  SELECT id, list_sort(list_transform(
+    range(0, greatest(len(t) - 4, 0) + 1),
+    i -> md5(array_to_string(list_slice(t, i + 1, i + 4), ' ')))) AS g
+  FROM toks)
+SELECT id, md5(array_to_string(list_slice(g, 1, 4), '|')) AS fingerprint
+FROM grams ORDER BY id
+"""
+
+
+_TRAINING_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "simhash_16": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "token_count": q_token_count,
+    "language_id": q_langid,
+    "doc_fingerprint": q_fingerprint,
+}
+
+_TRAINING_ORACLES = {
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "minhash_signatures": _SQL_MINHASH,
+    "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+    "simhash_16": _SQL_SIMHASH,
+    "embedding_topk": _SQL_EMBEDDING_TOPK,
+    "token_count": _SQL_TOKEN_COUNT,
+    "language_id": _SQL_LANGID,
+    "doc_fingerprint": _SQL_FINGERPRINT,
+}
