@@ -1,0 +1,143 @@
+"""spark-submit job entrypoint.
+
+Reference analog: the CLI + YAML config runner
+(reference data_validation/__main__.py:639-651 ``configs run`` and the
+kube-completions fan-out :352-401). There: one container per partition YAML.
+Here: ONE spark-submit job; partitions are Spark tasks, resume comes from
+the lineage table instead of per-partition YAML files.
+
+Usage (cluster):
+    ./package.sh                         # builds dist/psdv_spark.zip
+    spark-submit --py-files dist/psdv_spark.zip \
+        jobs/run_validation.py --config my_validation.yaml \
+        --lineage-dir /data/lineage --resume
+
+Config file (YAML or JSON) mirrors reference config keys; see
+ValidationConfig.from_dict for the schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def load_config(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    try:
+        import yaml
+
+        return yaml.safe_load(text)
+    except ImportError:  # pragma: no cover
+        return json.loads(text)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="psdv-spark")
+    p.add_argument("--config", required=True, help="validation config YAML/JSON")
+    p.add_argument("--source-path", help="parquet path of the source table")
+    p.add_argument("--target-path", help="parquet path of the target table")
+    p.add_argument("--source-table", help="catalog table name (Iceberg)")
+    p.add_argument("--target-table", help="catalog table name (Iceberg)")
+    p.add_argument("--lineage-dir", help="lineage table location")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip partitions already passed under the same config hash",
+    )
+    p.add_argument(
+        "--partition-by",
+        default=None,
+        help="partition expression for per-partition verdicts, e.g. "
+        "'CAST(ts AS DATE)'",
+    )
+    p.add_argument("--output", help="report output path (parquet append)")
+    p.add_argument(
+        "--filter-status", choices=["success", "fail"], help="report filter"
+    )
+    return p
+
+
+def _load_side(spark: SparkSession, path: str | None, table: str | None):
+    if path:
+        return spark.read.parquet(path)
+    if table:
+        return spark.read.table(table)
+    raise SystemExit("need --source-path/--target-path or catalog table names")
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .config import ValidationConfig, consts
+    from .lineage import LineageStore, config_hash
+    from .plans.compiler import run_validation
+    from .session import get_spark
+    from .sources.sinks import report_to_text, write_report
+
+    args = build_parser().parse_args(argv)
+    cfg_dict = load_config(args.config)
+    config = ValidationConfig.from_dict(cfg_dict)
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("psdv-job")
+
+    source = _load_side(spark, args.source_path, args.source_table)
+    target = _load_side(spark, args.target_path, args.target_table)
+
+    ch = config_hash(cfg_dict)
+    store = LineageStore(spark, args.lineage_dir) if args.lineage_dir else None
+
+    if args.resume and store and args.partition_by:
+        passed = store.passed_partitions(ch, config.validation_type)
+        part_expr = F.expr(args.partition_by).cast("string")
+        # partition pruning: passed partitions never reach the operators
+        source = source.join(
+            F.broadcast(passed),
+            part_expr == F.col("partition_id"),
+            "left_anti",
+        )
+        target = target.join(
+            F.broadcast(passed),
+            part_expr == F.col("partition_id"),
+            "left_anti",
+        )
+
+    report = run_validation(config, source, target, spark=spark)
+
+    if store and args.partition_by and config.group_by:
+        # grouped runs: one verdict row per partition into the lineage table
+        verdicts = report.groupBy(
+            F.col("group_by_columns").alias("partition_id")
+        ).agg(
+            F.count(F.lit(1)).alias("n_validations"),
+            F.min(
+                F.when(
+                    F.col("validation_status")
+                    == consts.VALIDATION_STATUS_SUCCESS,
+                    F.lit("success"),
+                ).otherwise(F.lit("fail"))
+            ).alias("validation_status"),
+        )
+        store.append_verdicts(
+            verdicts, ch, report.first().run_id, config.validation_type
+        )
+
+    if args.output:
+        write_report(report, args.output)
+    print(report_to_text(report, status_filter=args.filter_status))
+    failed = (
+        report.filter(
+            F.col("validation_status") == consts.VALIDATION_STATUS_FAIL
+        ).count()
+        > 0
+    )
+    if not preexisting:  # don't stop a session the caller owns
+        spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

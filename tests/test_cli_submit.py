@@ -1,0 +1,100 @@
+"""spark-submit --py-files packaging + CLI job tests (north-rule surface)."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_fixtures(spark, d):
+    from professional_services_data_validator_spark.sources.readers import (
+        register_transcripts,
+    )
+
+    register_transcripts(spark, "/root/testdata/sf0.001")
+    spark.table("transcripts").drop("event_id").write.parquet(d + "/src")
+    spark.table("transcripts_target").drop("event_id").write.parquet(d + "/tgt")
+    cfg = d + "/validation.yaml"
+    with open(cfg, "w") as f:
+        f.write(
+            """
+type: GroupedColumn
+source_table: transcripts
+target_table: transcripts_target
+aggregates:
+  - {agg_type: count}
+  - {agg_type: sum, column: turn_idx}
+group_by: [ts]
+threshold: 0.0
+"""
+        )
+    return cfg
+
+
+def test_cli_main_in_process(spark):
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        cfg = _write_fixtures(spark, d)
+        rc = main(
+            [
+                "--config", cfg,
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+                "--lineage-dir", d + "/lineage",
+                "--partition-by", "CAST(ts AS DATE)",
+                "--output", d + "/report",
+                "--filter-status", "fail",
+            ]
+        )
+        assert rc == 1  # defects present -> failing exit code
+        # report written
+        rep = spark.read.parquet(d + "/report")
+        assert rep.count() > 0
+        # lineage rows written for the grouped run
+        lin = spark.read.parquet(d + "/lineage")
+        assert lin.count() > 0
+
+        # resume: re-run skips passed partitions (fewer report rows)
+        rc2 = main(
+            [
+                "--config", cfg,
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+                "--lineage-dir", d + "/lineage",
+                "--partition-by", "CAST(ts AS DATE)",
+                "--resume",
+            ]
+        )
+        assert rc2 == 1
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(spark):
+    """Real spark-submit with the zip artifact — the packaging contract."""
+    subprocess.run(["sh", os.path.join(REPO, "package.sh")], check=True)
+    with tempfile.TemporaryDirectory() as d:
+        cfg = _write_fixtures(spark, d)
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = "4"
+        out = subprocess.run(
+            [
+                os.path.join(os.path.dirname(sys.executable), "spark-submit"),
+                "--master", "local[4]",
+                "--py-files", os.path.join(REPO, "dist/psdv_spark.zip"),
+                os.path.join(REPO, "jobs/run_validation.py"),
+                "--config", cfg,
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=300,
+        )
+        assert out.returncode == 1, out.stderr[-2000:]
+        assert "validation_name" in out.stdout

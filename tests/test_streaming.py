@@ -1,0 +1,98 @@
+"""Structured Streaming incremental validation tests (rate/memory sources,
+deterministic micro-batches via availableNow)."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from professional_services_data_validator_spark.streaming.incremental import (
+    foreachBatch_validate,
+    stream_column_stats,
+    stream_uniqueness_alerts,
+)
+
+
+def _file_stream(spark, transcripts, d):
+    # write the batch fixture as parquet, stream it back with availableNow
+    path = d + "/turns"
+    transcripts.drop("event_id").write.parquet(path)
+    return spark.readStream.schema(
+        transcripts.drop("event_id").schema
+    ).parquet(path)
+
+
+def test_stream_column_stats_matches_batch(spark, transcripts):
+    with tempfile.TemporaryDirectory() as d:
+        stream = _file_stream(spark, transcripts, d)
+        out = stream_column_stats(stream, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stats_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            str(r.ts): r.asDict() for r in spark.table("stats_out").collect()
+        }
+        batch = {
+            str(r.ts): r.asDict()
+            for r in transcripts.groupBy(F.col("ts").cast("date").alias("ts"))
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.count("tool").alias("count__tool"),
+                F.sum(F.length("text")).alias("sum__text"),
+                F.min("turn_idx").alias("min__turn_idx"),
+                F.max("turn_idx").alias("max__turn_idx"),
+            )
+            .collect()
+        }
+        assert set(got) == set(batch)
+        for day in got:
+            for k in ("count", "count__tool", "sum__text"):
+                assert got[day][k] == batch[day][k], (day, k)
+
+
+def test_stream_uniqueness_alerts(spark, transcripts):
+    dirty = transcripts.drop("event_id").unionByName(
+        transcripts.drop("event_id").filter(F.col("turn_idx") == 0).limit(5)
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/turns"
+        dirty.write.parquet(path)
+        stream = spark.readStream.schema(dirty.schema).parquet(path)
+        out = stream_uniqueness_alerts(stream, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("uniq_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        alerts = spark.table("uniq_out").collect()
+        assert len(alerts) == 5
+        assert all(r.dup_count == 2 for r in alerts)
+
+
+def test_foreachbatch_reuses_batch_operators(spark, transcripts):
+    import tempfile
+
+    from professional_services_data_validator_spark.lineage import LineageStore
+
+    ref = transcripts.drop("event_id")
+    with tempfile.TemporaryDirectory() as d:
+        store = LineageStore(spark, d + "/lineage")
+        stream = _file_stream(spark, ref, d)
+        fn = foreachBatch_validate(ref, store, "cfg", "run-s")
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", d + "/ckpt")
+            .start()
+        )
+        q.awaitTermination(120)
+        lineage = store.read().collect()
+        assert len(lineage) >= 1
+        assert all(r.verdict == "success" for r in lineage)
