@@ -162,6 +162,40 @@ def row_violations(
     )
 
 
+def random_row_compare(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    num_rows: int = consts.DEFAULT_NUM_RANDOM_ROWS,
+    seed: int = 42,
+    comparison_fields: list[ComparisonFieldSpec] | None = None,
+    hash_columns="*",
+    run_metadata: RunMetadata | None = None,
+) -> DataFrame:
+    """Random-row validation (reference --use-random-row,
+    random_row_builder.py:86-104): sample N source PKs, compare only those
+    rows. The reference renders the sampled PKs into IN-lists chunked per
+    engine limit (validation_builder.py:69-88); here the sample is a
+    broadcast semi-join — no SQL-text limits, one scan per side."""
+    from .sampling import deterministic_sample
+
+    sample_keys = F.broadcast(
+        deterministic_sample(
+            source.select(*primary_keys), primary_keys, n=num_rows, seed=seed
+        )
+    )
+    src = source.join(sample_keys, primary_keys, "left_semi")
+    tgt = target.join(sample_keys, primary_keys, "left_semi")
+    rm = run_metadata or RunMetadata()
+    report = row_compare(
+        src, tgt, primary_keys,
+        comparison_fields=comparison_fields,
+        hash_columns=hash_columns if comparison_fields is None else None,
+        run_metadata=rm,
+    )
+    return report.withColumn("num_random_rows", F.lit(num_rows).cast("long"))
+
+
 def row_compare_verdicts(
     source: DataFrame,
     target: DataFrame,

@@ -119,6 +119,78 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_file(
+    spark: SparkSession, path: str, fmt: str = "parquet", **options
+) -> DataFrame:
+    """FileSystem connection analog (reference clients.py:117-137):
+    csv/json/orc/parquet with sane defaults. CSV gets header+inferSchema
+    like the reference's pandas reader defaults."""
+    fmt = fmt.lower()
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if fmt not in ("csv", "json", "orc", "parquet"):
+        raise ValueError(f"unsupported file format {fmt!r}")
+    return getattr(reader, fmt)(path)
+
+
+def find_tables(
+    spark: SparkSession, score_cutoff: float = 0.8
+) -> list[dict]:
+    """``find-tables`` analog (reference clients.py:203-241 +
+    jellyfish_distance.py:18-35): list catalog tables and fuzzy-match names
+    by Jaro similarity. Driver-side by nature (catalog metadata is tiny)."""
+    names = [t.name for t in spark.catalog.listTables()]
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            s = jaro_similarity(a, b)
+            if s >= score_cutoff:
+                out.append(
+                    {"source_table": a, "target_table": b, "score": round(s, 4)}
+                )
+    return out
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Plain Jaro similarity (public algorithm; the reference delegates to
+    the jellyfish library)."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if not len1 or not len2:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    s1_matches = [False] * len1
+    s2_matches = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(len2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not s2_matches[j] and s2[j] == c:
+                s1_matches[i] = s2_matches[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if s1_matches[i]:
+            while not s2_matches[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (
+        matches / len1 + matches / len2 + (matches - t) / matches
+    ) / 3.0
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register the driver testdata as temp views."""
     for n in names:
