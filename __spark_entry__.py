@@ -874,3 +874,217 @@ _TRAINING_ORACLES = {
     "language_id": _SQL_LANGID,
     "doc_fingerprint": _SQL_FINGERPRINT,
 }
+
+
+# ===========================================================================
+# Additional coverage: filters, calc chains, vectorized drift, IVF ANN
+# ===========================================================================
+
+def q_filtered_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterField family in one validation: custom SQL + isin + range
+    (reference query_builder.py:145-197)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark import run_validation
+    from professional_services_data_validator_spark.config import FilterSpec
+
+    cfg = ValidationConfig(
+        validation_type=consts.COLUMN_VALIDATION,
+        source_table="transcripts",
+        target_table="transcripts_target",
+        aggregates=[
+            AggregateSpec("count"),
+            AggregateSpec("sum", "turn_idx"),
+        ],
+        filters=[
+            FilterSpec("custom", source="turn_idx >= 2"),
+            FilterSpec("isin", column="role", value=["user", "assistant"]),
+            FilterSpec("less_than", column="turn_idx", value=50),
+        ],
+    )
+    rep = run_validation(
+        cfg, spark.table("transcripts"), spark.table("transcripts_target")
+    )
+    return rep.select(
+        "validation_name", "source_agg_value", "target_agg_value",
+        "validation_status",
+    ).orderBy("validation_name")
+
+
+_SQL_FILTERED_VALIDATION = f"""{_CTES},
+s AS (SELECT count(*) AS c, sum(turn_idx) AS st FROM transcripts
+      WHERE turn_idx >= 2 AND role IN ('user','assistant') AND turn_idx < 50),
+t AS (SELECT count(*) AS c, sum(turn_idx) AS st FROM transcripts_target
+      WHERE turn_idx >= 2 AND role IN ('user','assistant') AND turn_idx < 50)
+SELECT 'count' AS validation_name, CAST(s.c AS VARCHAR) AS source_agg_value,
+       CAST(t.c AS VARCHAR) AS target_agg_value,
+       CASE WHEN s.c = t.c THEN 'success' ELSE 'fail' END AS validation_status
+FROM s, t
+UNION ALL
+SELECT 'sum__turn_idx', CAST(s.st AS VARCHAR), CAST(t.st AS VARCHAR),
+       CASE WHEN s.st = t.st THEN 'success' ELSE 'fail' END
+FROM s, t
+ORDER BY validation_name
+"""
+
+
+def q_ci_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive + rstrip calc chain: upper() folded into the hash
+    (reference --case-insensitive-match, config_manager.py:1067-1068)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.functions.calculated import (
+        build_row_hash,
+    )
+
+    docs = spark.table("documents")
+    flipped = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    h = build_row_hash(
+        flipped, ["text", "lang"], case_insensitive=True, trim_strings=True
+    )
+    return h.select(F.col("doc_id"), F.col("hash__all")).orderBy("doc_id")
+
+
+_SQL_CI_ROW_HASH = """
+SELECT doc_id,
+  sha256(
+    upper(rtrim(coalesce(CASE WHEN doc_id % 2 = 0 THEN upper(text)
+                              ELSE text END, 'DEFAULT_REPLACEMENT_STRING')))
+    || upper(rtrim(coalesce(lang, 'DEFAULT_REPLACEMENT_STRING')))
+  ) AS hash__all
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_drift_grouped_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KS+PSI via Arrow-batched applyInPandas (BASELINE-mandated
+    vectorized kernel). Oracle: the same statistics computed with the
+    exact SQL formulation — the pandas kernel must agree with SQL."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        drift_grouped,
+    )
+
+    out = drift_grouped(
+        spark.table("transcripts"),
+        spark.table("transcripts_target"),
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.length("text"),
+        F.col("role"),
+    )
+    return out.select(
+        "group_key",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        "n_source",
+        "n_target",
+        F.round("psi", 6).alias("psi"),
+    ).orderBy("group_key")
+
+
+_SQL_DRIFT_GROUPED = f"""{_CTES},
+u AS (
+  SELECT g, v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT strftime(ts, '%Y-%m-%d') AS g, length(text) AS v, 1 AS ns, 0 AS nt
+    FROM transcripts
+    UNION ALL
+    SELECT strftime(ts, '%Y-%m-%d'), length(text), 0, 1
+    FROM transcripts_target) z
+  GROUP BY g, v),
+c AS (SELECT g,
+   sum(n_s) OVER (PARTITION BY g ORDER BY v) AS cs,
+   sum(n_t) OVER (PARTITION BY g ORDER BY v) AS ct,
+   sum(n_s) OVER (PARTITION BY g) AS tot_s,
+   sum(n_t) OVER (PARTITION BY g) AS tot_t FROM u),
+ks AS (SELECT g, round(max(abs(cs * 1.0 / tot_s - ct * 1.0 / tot_t)), 6)
+         AS ks_stat,
+       max(tot_s) AS n_source, max(tot_t) AS n_target
+       FROM c GROUP BY g),
+r AS (
+  SELECT g, v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT strftime(ts, '%Y-%m-%d') AS g, role AS v, 1 AS ns, 0 AS nt
+    FROM transcripts
+    UNION ALL
+    SELECT strftime(ts, '%Y-%m-%d'), role, 0, 1 FROM transcripts_target) z
+  GROUP BY g, v),
+rt AS (SELECT g, sum(n_s) AS ts, sum(n_t) AS tt FROM r GROUP BY g),
+p AS (SELECT r.g,
+        greatest(n_s * 1.0 / ts, 1e-6) AS p,
+        greatest(n_t * 1.0 / tt, 1e-6) AS q
+      FROM r JOIN rt ON r.g = rt.g),
+psi AS (SELECT g, round(sum((p - q) * ln(p / q)), 6) AS psi FROM p GROUP BY g)
+SELECT ks.g AS group_key, ks.ks_stat, ks.n_source, ks.n_target, psi.psi
+FROM ks JOIN psi ON ks.g = psi.g
+ORDER BY group_key
+"""
+
+
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN (label-centroid coarse quantizer, nprobe=3)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, q, k=5, nprobe=3).select(
+        "query_id", "neighbor_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
+_SQL_EMBEDDING_IVF = """
+WITH pos AS (
+  SELECT label, u.pos AS pos, embedding[u.pos] AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(pos)),
+cents AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
+        FROM pos GROUP BY label, pos) z
+  GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 8),
+qc AS (
+  SELECT q.query_id, q.qv, c.label,
+    list_cosine_similarity(list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+                           c.centroid) AS cscore
+  FROM q, cents c),
+probes AS (
+  SELECT query_id, qv, label FROM (
+    SELECT query_id, qv, label,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cscore DESC, label) AS crank
+    FROM qc) z WHERE crank <= 3),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+    list_cosine_similarity(p.qv, e.embedding) AS s
+  FROM probes p JOIN embeddings e ON e.label = p.label
+  WHERE e.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id)
+      AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+_TRAINING_QUERIES.update(
+    {
+        "filtered_validation": q_filtered_validation,
+        "ci_row_hash": q_ci_row_hash,
+        "drift_grouped_vectorized": q_drift_grouped_vectorized,
+        "embedding_ivf_ann": q_embedding_ivf,
+    }
+)
+_TRAINING_ORACLES.update(
+    {
+        "filtered_validation": _SQL_FILTERED_VALIDATION,
+        "ci_row_hash": _SQL_CI_ROW_HASH,
+        "drift_grouped_vectorized": _SQL_DRIFT_GROUPED,
+        "embedding_ivf_ann": _SQL_EMBEDDING_IVF,
+    }
+)
