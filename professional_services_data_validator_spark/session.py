@@ -57,6 +57,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        # the dominant operator is the PK-equi full-outer row-compare join:
+        # shuffled-hash beats sort-merge by ~30% (no per-side sort of 10^?
+        # rows); hash build spills since Spark 3.2 so the memory risk SMJ
+        # guards against is handled, and AQE still picks broadcast when a
+        # side is small.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     # sandbox: shuffle scratch on tmpfs — the VM's virtio disk writeback
     # stalls dominate shuffle-heavy stages otherwise. On a real cluster

@@ -12,6 +12,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def safe_collect(df: DataFrame, max_rows: int = 50_000) -> list:
+    """Guarded driver collect (reference max_recursive_query_size,
+    config_manager.py:145-148): refuse to materialize unbounded result sets
+    on the driver. Operators never need this — it exists for callers who
+    want rows in Python."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"result exceeds driver collect guard ({max_rows} rows); "
+            "write it to a sink instead (write_report) or aggregate further"
+        )
+    return rows
+
+
 def write_report(report: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Append the report to a results table. With an Iceberg catalog this is
     ``report.writeTo(table).append()``; parquet-append is the sandbox
