@@ -1329,6 +1329,40 @@ _TRAINING_ORACLES.update(
 )
 
 
+def q_decoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode over mapInPandas (the multimodal codec path,
+    BASELINE's 'vectorized pandas/Arrow UDFs, no per-row Python'). The stub
+    kernel derives mean_px deterministically from payload bytes, so even the
+    Python-kernel path is oracle-checkable: DuckDB recomputes the byte mean
+    from the md5 hex."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark.table("documents"), "doc_id", "text")
+    return decode_media(media).select(
+        "id", "modality", F.round("mean_px", 6).alias("mean_px")
+    ).orderBy("id")
+
+
+_SQL_DECODED_MEDIA = """
+SELECT doc_id AS id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+  round(list_sum(list_transform(range(1, 17),
+    i -> CAST('0x' || substring(md5(text), 2 * i - 1, 2) AS INT)))
+    / 16.0 / 255.0, 6) AS mean_px
+FROM documents ORDER BY id
+"""
+
+
+_TRAINING_QUERIES["decoded_media"] = q_decoded_media
+_TRAINING_ORACLES["decoded_media"] = _SQL_DECODED_MEDIA
+
+
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-harness variants of the headline queries: identical plans minus
     the final global orderBy (contract queries sort only so the driver's

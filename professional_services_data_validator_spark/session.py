@@ -30,6 +30,18 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # Python workers (pandas-UDF / mapInPandas kernels) import this package
+    # by name from cloudpickled closures; driver sys.path does NOT propagate
+    # to them. Exporting the package root on PYTHONPATH before the JVM (and
+    # its worker daemons) start makes `from <pkg>.operators import ...`
+    # resolve in workers no matter the launch cwd. On a real cluster the
+    # same job ships dist/psdv_spark.zip via spark-submit --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
