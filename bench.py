@@ -161,7 +161,7 @@ def main() -> None:
         # (the least-interfered window); all runs + steal% are reported.
         ncores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
         rep = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "400"))
-        pairs = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "3"))
+        pairs = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "4"))
         os.environ.setdefault("SPARK_GRAFT_SCALE_QUERY", "row_hash_violations")
         lo, hi = f"local[{ncores}]", f"local[{4 * ncores}]"
         runs_lo, runs_hi = [], []
