@@ -85,16 +85,20 @@ def q_col_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# every aggregate CAST to the Spark output type: DuckDB sum(INTEGER/BIGINT)
+# yields HUGEINT, which pandas renders as object/float — the driver's exact
+# value-hash then diverges from Spark's int64 even when values are equal
+# (VERDICT r1 "what's wrong" #1).
 _SQL_COL_STATS = f"""{_CTES}
 SELECT
   count(*) AS n_rows,
   count(tool) AS count_tool,
   min(turn_idx) AS min_turn,
   max(turn_idx) AS max_turn,
-  sum(turn_idx) AS sum_turn,
-  sum(length(text)) AS sum_text_len,
-  bit_xor(event_id) AS xor_event,
-  sum(CAST(floor(epoch(ts)) AS BIGINT)) AS sum_epoch,
+  CAST(sum(turn_idx) AS BIGINT) AS sum_turn,
+  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+  CAST(bit_xor(event_id) AS BIGINT) AS xor_event,
+  CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS sum_epoch,
   count(*) - count(tool) AS null_tool_rows
 FROM transcripts
 """
@@ -400,8 +404,10 @@ u AS (
 c AS (SELECT
    sum(n_s) OVER (ORDER BY v) AS cs, sum(n_t) OVER (ORDER BY v) AS ct,
    sum(n_s) OVER () AS tot_s, sum(n_t) OVER () AS tot_t FROM u)
-SELECT round(max(abs(cs * 1.0 / tot_s - ct * 1.0 / tot_t)), 6) AS ks_stat,
-       max(tot_s) AS n_source, max(tot_t) AS n_target
+SELECT CAST(round(max(abs(cs * 1.0 / tot_s - ct * 1.0 / tot_t)), 6)
+         AS DOUBLE) AS ks_stat,
+       CAST(max(tot_s) AS BIGINT) AS n_source,
+       CAST(max(tot_t) AS BIGINT) AS n_target
 FROM c
 """
 
@@ -466,8 +472,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SALTED_AGG = f"""{_CTES}
-SELECT conv_id, count(*) AS n_turns, sum(turn_idx) AS sum_turn,
-       round(avg(length(text)), 4) AS avg_text_len,
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(turn_idx) AS BIGINT) AS sum_turn,
+       CAST(round(avg(length(text)), 4) AS DOUBLE) AS avg_text_len,
        max(turn_idx) AS max_turn
 FROM transcripts GROUP BY conv_id ORDER BY conv_id
 """
@@ -1031,7 +1038,11 @@ p AS (SELECT r.g,
         greatest(n_t * 1.0 / tt, 1e-6) AS q
       FROM r JOIN rt ON r.g = rt.g),
 psi AS (SELECT g, round(sum((p - q) * ln(p / q)), 6) AS psi FROM p GROUP BY g)
-SELECT ks.g AS group_key, ks.ks_stat, ks.n_source, ks.n_target, psi.psi
+SELECT ks.g AS group_key,
+       CAST(ks.ks_stat AS DOUBLE) AS ks_stat,
+       CAST(ks.n_source AS BIGINT) AS n_source,
+       CAST(ks.n_target AS BIGINT) AS n_target,
+       CAST(psi.psi AS DOUBLE) AS psi
 FROM ks JOIN psi ON ks.g = psi.g
 ORDER BY group_key
 """
