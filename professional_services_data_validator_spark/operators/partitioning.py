@@ -44,6 +44,23 @@ def partition_boundaries(
     )
 
 
+def default_salt(n_salts: int) -> Column:
+    """Default salt: hash of (physical partition id, per-row monotonic id).
+
+    Independent of any data column, so it spreads even a single hot group
+    across ``n_salts`` phase-1 reducers — unlike a hash of a data column,
+    which is a silent no-op whenever that column is functionally dependent
+    on the group key (the round-1 default hashed df.columns[0], which for
+    transcripts WAS the group key: every hot group landed in one salt
+    bucket). Salt assignment never affects correctness — phase 2 merges
+    partials exactly — so a physical-layout-dependent salt is safe.
+    """
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
+
+
 # aggregate name -> (phase1 exprs, phase2 re-agg expr builder)
 def salted_agg(
     df: DataFrame,
@@ -65,9 +82,7 @@ def salted_agg(
     direct single-phase aggregate.
     """
     salt = (
-        salt_source
-        if salt_source is not None
-        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]]), F.lit(n_salts))
+        salt_source if salt_source is not None else default_salt(n_salts)
     ).alias("__salt")
 
     p1_exprs = []

@@ -109,6 +109,46 @@ def test_salted_agg_exact(spark, transcripts):
             assert abs(d[k].sd - s[k].sd) < 1e-6
 
 
+def test_salted_agg_default_salt_spreads_hot_group(spark):
+    """Regression for the round-1 default-salt no-op: salting a frame whose
+    FIRST column is the group key must still spread the hot group across
+    multiple phase-1 reducers, and the result must equal the direct agg."""
+    from professional_services_data_validator_spark.operators.partitioning import (
+        default_salt,
+    )
+
+    # one hot key with 4000 rows, a cold key with 10 — first column IS the key
+    hot = spark.range(4000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(10).select(
+        F.lit("cold").alias("k"), (F.col("id") + 100).alias("v")
+    )
+    df = hot.unionByName(cold).repartition(8)
+
+    n_distinct = (
+        df.withColumn("__salt", default_salt(16))
+        .groupBy("k")
+        .agg(F.countDistinct("__salt").alias("d"))
+        .collect()
+    )
+    by_key = {r.k: r.d for r in n_distinct}
+    assert by_key["hot"] > 1, "default salt failed to spread the hot group"
+
+    salted = salted_agg(
+        df, ["k"], {"n": ("count", None), "s": ("sum", "v"), "a": ("avg", "v")}
+    )
+    direct = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.avg("v").alias("a")
+    )
+    d = {r.k: r for r in direct.collect()}
+    s = {r.k: r for r in salted.collect()}
+    assert set(d) == set(s)
+    for k in d:
+        assert d[k].n == s[k].n and d[k].s == s[k].s
+        assert abs(d[k].a - s[k].a) < 1e-9
+
+
 def test_deterministic_sample_stable(spark, transcripts):
     s1 = deterministic_sample(transcripts, ["conv_id", "turn_idx"], n=50)
     s2 = deterministic_sample(
