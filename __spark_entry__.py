@@ -590,6 +590,150 @@ FROM cols ORDER BY c
 
 
 # ---------------------------------------------------------------------------
+# 14. stddev column validation (reference README:638-640 `std` aggregate)
+# ---------------------------------------------------------------------------
+
+def q_std_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import column_stats
+
+    out = column_stats(
+        spark.table("transcripts"),
+        [
+            AggregateSpec("std", "turn_idx", name="std_turn"),
+            AggregateSpec("std", "text", precalc="length", name="std_text_len"),
+            AggregateSpec("avg", "turn_idx", name="avg_turn"),
+        ],
+    )
+    return out.select(
+        F.round("std_turn", 6).alias("std_turn"),
+        F.round("std_text_len", 6).alias("std_text_len"),
+        F.round("avg_turn", 6).alias("avg_turn"),
+    )
+
+
+_SQL_STD_VALIDATION = f"""{_CTES}
+SELECT CAST(round(stddev_samp(turn_idx), 6) AS DOUBLE) AS std_turn,
+       CAST(round(stddev_samp(length(text)), 6) AS DOUBLE) AS std_text_len,
+       CAST(round(avg(turn_idx), 6) AS DOUBLE) AS avg_turn
+FROM transcripts
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. random-row validation (reference --use-random-row,
+#     random_row_builder.py:86-104; deterministic seed -> oracle-able)
+# ---------------------------------------------------------------------------
+
+def q_random_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.row_compare import (
+        random_row_compare,
+    )
+
+    src = _with_epoch(spark.table("transcripts")).drop("ts", "event_id")
+    tgt = _with_epoch(spark.table("transcripts_target")).drop("ts", "event_id")
+    rep = random_row_compare(
+        src, tgt, ["conv_id", "turn_idx"], num_rows=100, seed=42,
+        hash_columns=["role", "text", "tool", "ts_us"],
+    )
+    return rep.select(
+        "group_by_columns",
+        "validation_name",
+        "source_agg_value",
+        "target_agg_value",
+        "validation_status",
+        "num_random_rows",
+    ).orderBy("group_by_columns", "validation_status")
+
+
+_HASH_EXPR_SQL = """sha256(
+  rtrim(coalesce(CAST(role AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+  || rtrim(coalesce(CAST(text AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+  || rtrim(coalesce(CAST(tool AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+  || rtrim(coalesce(CAST(ts_us AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING')))"""
+
+_SQL_RANDOM_ROW = f"""{_CTES},
+base_s AS (SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+           FROM transcripts),
+base_t AS (SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+           FROM transcripts_target),
+samp AS (SELECT conv_id, turn_idx FROM (
+    SELECT conv_id, turn_idx,
+      md5('42' || '|' || conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS hh
+    FROM base_s) z ORDER BY hh, conv_id, turn_idx LIMIT 100),
+sh AS (SELECT s.conv_id, s.turn_idx, {_HASH_EXPR_SQL} AS h
+       FROM base_s s JOIN samp USING (conv_id, turn_idx)),
+th AS (SELECT t.conv_id, t.turn_idx, {_HASH_EXPR_SQL} AS h
+       FROM base_t t JOIN samp USING (conv_id, turn_idx)),
+j AS (SELECT coalesce(sh.conv_id, th.conv_id) AS conv_id,
+             coalesce(sh.turn_idx, th.turn_idx) AS turn_idx,
+             coalesce(sh.h, th.h) AS h, sh.h AS s_h, th.h AS t_h
+      FROM sh FULL OUTER JOIN th
+        ON sh.conv_id = th.conv_id AND sh.turn_idx = th.turn_idx
+       AND sh.h = th.h)
+SELECT '{{"conv_id": "' || conv_id || '", "turn_idx": "'
+         || CAST(turn_idx AS VARCHAR) || '", "hash__all": "' || h || '"}}'
+         AS group_by_columns,
+       'hash__all' AS validation_name,
+       s_h AS source_agg_value,
+       t_h AS target_agg_value,
+       CASE WHEN s_h IS NOT NULL AND t_h IS NOT NULL THEN 'success'
+            ELSE 'fail' END AS validation_status,
+       CAST(100 AS BIGINT) AS num_random_rows
+FROM j ORDER BY group_by_columns, validation_status
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16. to_char round-trip (reference query_builder.py:334-339 default
+#     'FM90.099'; operations.py:350-353/390-401 engine to_char compilers)
+# ---------------------------------------------------------------------------
+
+def q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number + date format models through the config-driven calc-field
+    path. v = turn_idx/8 - 2 is an exact binary eighth, so '%.3f' needs no
+    rounding and both engines render identical digits."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.config import (
+        CalculatedFieldSpec,
+    )
+    from professional_services_data_validator_spark.functions.calculated import (
+        apply_calculated_fields,
+    )
+
+    t = (
+        spark.table("transcripts")
+        .filter((F.col("event_id") % 20 == 0) & (F.col("turn_idx") < 700))
+        .withColumn("v", F.col("turn_idx") / F.lit(8.0) - F.lit(2.0))
+    )
+    out = apply_calculated_fields(
+        t,
+        [
+            CalculatedFieldSpec(
+                "to_char", "num_str", ("v",), expr="FM90.099"
+            ),
+            CalculatedFieldSpec(
+                "to_char", "date_str", ("ts",), expr="YYYY-MM-DD HH24:MI:SS"
+            ),
+        ],
+    )
+    return out.select("event_id", "num_str", "date_str").orderBy("event_id")
+
+
+_SQL_TO_CHAR = f"""{_CTES},
+v AS (SELECT event_id, turn_idx / 8.0 - 2.0 AS v, ts FROM transcripts
+      WHERE event_id % 20 = 0 AND turn_idx < 700)
+SELECT event_id,
+  CASE WHEN v < 0 THEN '-' ELSE '' END ||
+    regexp_replace(printf('%.3f', abs(v)), '(\\.[0-9][0-9]*?)0+$', '\\1')
+    AS num_str,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS date_str
+FROM v ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -614,6 +758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_sample,
         "custom_query_validation": q_custom_query,
         "schema_validation": q_schema_validation,
+        "std_validation": q_std_validation,
+        "random_row_compare": q_random_row,
+        "to_char_roundtrip": q_to_char,
     })
     return out
 
@@ -634,6 +781,9 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": _SQL_SAMPLE,
         "custom_query_validation": _SQL_CUSTOM_QUERY,
         "schema_validation": _SQL_SCHEMA_VALIDATION,
+        "std_validation": _SQL_STD_VALIDATION,
+        "random_row_compare": _SQL_RANDOM_ROW,
+        "to_char_roundtrip": _SQL_TO_CHAR,
     })
     return out
 

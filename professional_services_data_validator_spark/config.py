@@ -96,8 +96,11 @@ class CalculatedFieldSpec:
     name: str = ""
     source_columns: tuple = ()
     target_type: str | None = None  # for cast
-    expr: str | None = None  # for custom (allowlisted F.expr, NOT eval)
+    expr: str | None = None  # custom: allowlisted name; to_char: format model
     depth: int = 0
+    # params for parameterized custom funcs (reference README.md:779-790
+    # 'params' block, e.g. strftime format_str); dict or list of dicts
+    params: object = None
 
 
 @dataclass(frozen=True)
