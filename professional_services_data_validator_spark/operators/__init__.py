@@ -2,7 +2,14 @@ from .aggregates import column_stats, build_aggregate_specs, agg_column
 from .row_compare import row_compare, row_violations, row_compare_verdicts
 from .uniqueness import uniqueness_violations, uniqueness_verdict
 from .referential import referential_violations
-from .partitioning import partition_boundaries, salted_agg
+from .partitioning import (
+    assign_partition_id,
+    partition_boundaries,
+    partition_manifest,
+    partition_where_clauses,
+    pending_where,
+    salted_agg,
+)
 from .sampling import deterministic_sample
 
 __all__ = [
@@ -16,6 +23,10 @@ __all__ = [
     "uniqueness_verdict",
     "referential_violations",
     "partition_boundaries",
+    "partition_manifest",
+    "partition_where_clauses",
+    "pending_where",
+    "assign_partition_id",
     "salted_agg",
     "deterministic_sample",
 ]

@@ -26,13 +26,47 @@ def safe_collect(df: DataFrame, max_rows: int = 50_000) -> list:
     return rows
 
 
-def write_report(report: DataFrame, path: str, fmt: str = "parquet") -> None:
+def write_report(
+    report: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    small: bool | None = None,
+    max_small_rows: int = 10_000,
+) -> None:
     """Append the report to a results table. With an Iceberg catalog this is
     ``report.writeTo(table).append()``; parquet-append is the sandbox
-    fallback (no Iceberg jars in this environment)."""
-    # canonical ordering before write -> deterministic output files
-    ordered = report.orderBy("validation_name", "group_by_columns")
-    ordered.coalesce(1).write.mode("append").format(fmt).save(path)
+    fallback (no Iceberg jars in this environment).
+
+    Scale posture (round-1 fix): the old implementation globally sorted and
+    ``coalesce(1)``-ed every report — a single-reducer scale-killer when fed
+    a row-level validation report (O(rows)). Now:
+
+    - ``partition_by``: partitioned append (e.g. by validation_status so
+      --filter-status reads become partition-pruned), rows sorted only
+      *within* partitions — no global exchange anywhere in the plan.
+    - column/grouped reports (``small=True``, or probed <= max_small_rows):
+      keep the deterministic single sorted file — they are tiny by
+      construction (one row per validation x group).
+    - anything else: sortWithinPartitions + parallel write.
+    """
+    sort_cols = [
+        c
+        for c in ("validation_name", "group_by_columns")
+        if c in report.columns
+    ]
+    if partition_by:
+        w = report.sortWithinPartitions(*sort_cols) if sort_cols else report
+        w.write.mode("append").partitionBy(*partition_by).format(fmt).save(path)
+        return
+    if small is None:
+        small = report.limit(max_small_rows + 1).count() <= max_small_rows
+    if small:
+        ordered = report.orderBy(*sort_cols) if sort_cols else report
+        ordered.coalesce(1).write.mode("append").format(fmt).save(path)
+    else:
+        w = report.sortWithinPartitions(*sort_cols) if sort_cols else report
+        w.write.mode("append").format(fmt).save(path)
 
 
 def report_to_text(

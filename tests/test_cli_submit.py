@@ -73,6 +73,64 @@ def test_cli_main_in_process(spark):
         assert rc2 == 1
 
 
+def test_cli_row_manifest_resume(spark):
+    """Row validation with a PK-range partition manifest: verdicts land in
+    lineage per manifest partition, and --resume prunes passed ranges from
+    the scan (reference generate-table-partitions + per-YAML fan-out)."""
+    from pyspark.sql import functions as F
+
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_fixtures(spark, d)
+        cfg = d + "/row_validation.yaml"
+        with open(cfg, "w") as f:
+            f.write(
+                """
+type: Row
+primary_keys: [conv_id, turn_idx]
+hash_columns: '*'
+"""
+            )
+        common = [
+            "--config", cfg,
+            "--source-path", d + "/src",
+            "--target-path", d + "/tgt",
+            "--lineage-dir", d + "/lineage",
+            "--partition-keys", "conv_id,turn_idx",
+            "--num-partitions", "4",
+            "--output", d + "/report",
+        ]
+        rc = main(common)
+        assert rc == 1  # injected defects -> fail exit
+        lin = spark.read.parquet(d + "/lineage")
+        run1 = lin.filter(F.col("stage") == "Row")
+        assert run1.select("partition_id").distinct().count() == 4
+        statuses = {
+            r.partition_id: r.verdict
+            for r in run1.select("partition_id", "verdict").collect()
+        }
+        passed_first = {p for p, v in statuses.items() if v == "success"}
+
+        # row-level report written partitioned by status (no coalesce(1))
+        assert os.path.isdir(d + "/report/validation_status=fail")
+
+        rc2 = main(common + ["--resume"])
+        assert rc2 == 1  # failing partitions re-run and still fail
+        lin2 = spark.read.parquet(d + "/lineage").filter(
+            F.col("stage") == "Row"
+        )
+        # resumed run recorded verdicts only for not-yet-passed partitions
+        reran = (
+            lin2.groupBy("partition_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .select("partition_id")
+            .collect()
+        )
+        assert passed_first.isdisjoint({r.partition_id for r in reran})
+
+
 @pytest.mark.slow
 def test_spark_submit_py_files(spark):
     """Real spark-submit with the zip artifact — the packaging contract."""
