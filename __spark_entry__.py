@@ -1524,6 +1524,29 @@ _TRAINING_QUERIES["decoded_media"] = q_decoded_media
 _TRAINING_ORACLES["decoded_media"] = _SQL_DECODED_MEDIA
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED spherical k-means quantizer (Lloyd iterations
+    as DataFrame ops, deterministic md5-seeded init). Iterative algorithm —
+    deliberately NO oracle_sql entry (rows-only driver check); parity
+    evidence is the pytest recall@5 bound vs brute_force_topk
+    (tests/test_training_ops.py::test_ivf_kmeans_trained_quantizer)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return ivf_kmeans_topk(
+        emb, q, k=5, nprobe=3, n_clusters=10, iters=3
+    ).select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
+_TRAINING_QUERIES["embedding_kmeans_ann"] = q_embedding_kmeans
+# no oracle entry: k-means is iterative / not SQL-expressible; driver records
+# the rows-only check for this one by design.
+
+
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-harness variants of the headline queries: identical plans minus
     the final global orderBy (contract queries sort only so the driver's

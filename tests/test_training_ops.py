@@ -167,6 +167,34 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert len(cents.first().centroid) == 64
 
 
+def test_ivf_kmeans_trained_quantizer(spark, sf_dir):
+    """Trained spherical k-means quantizer (round-2): recall vs the exact
+    path must beat the untrained per-label quantizer's floor, and training
+    must be deterministic (seeded md5 init, fixed iteration count)."""
+    from professional_services_data_validator_spark.operators.similarity import (
+        ivf_kmeans_topk,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_kmeans_topk(
+        emb, q, k=5, nprobe=3, n_clusters=10, iters=3
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"k-means IVF recall@5 too low: {recall}"
+
+    # deterministic training: identical centroids across runs
+    c1 = kmeans_centroids(emb, n_clusters=4, iters=2)
+    c2 = kmeans_centroids(emb.repartition(7), n_clusters=4, iters=2)
+    assert len(c1) == 4 and len(c1[0]) == 64
+    for a, b in zip(c1, c2):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+
+
 # ------------------------------------------------------------------ text ----
 
 def test_token_count(spark):
