@@ -22,6 +22,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dedup_verdicts(
+    df: DataFrame,
+    text_col: str,
+    group_col,
+    max_dup_rate: float = 0.1,
+) -> DataFrame:
+    """Per-group duplication-rate verdicts in the lineage-table shape
+    (partition_id, metrics..., validation_status): dup_rate =
+    1 - distinct(text_hash)/rows per group. Single groupBy — one shuffle."""
+    from ..config import consts
+
+    per = df.groupBy(group_col.cast("string").alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+    )
+    dup_rate = F.round(
+        F.lit(1.0) - F.col("n_distinct") / F.col("n_rows"), 6
+    )
+    return per.select(
+        "partition_id",
+        "n_rows",
+        "n_distinct",
+        dup_rate.alias("dup_rate"),
+        F.when(dup_rate <= max_dup_rate, F.lit(consts.VALIDATION_STATUS_SUCCESS))
+        .otherwise(F.lit(consts.VALIDATION_STATUS_FAIL))
+        .alias("validation_status"),
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str, keys: list[str]
 ) -> DataFrame:

@@ -220,3 +220,35 @@ def drift_grouped(
         )
 
     return tagged.groupBy("g").applyInPandas(_kernel, schema=_KS_SCHEMA)
+
+
+def drift_grouped_verdicts(
+    source: DataFrame,
+    target: DataFrame,
+    group_col: Column,
+    value_col: Column,
+    category_col: Column,
+    ks_threshold: float = 0.2,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Per-group drift verdicts in the lineage-table shape
+    (partition_id, metrics..., validation_status) — routes the vectorized
+    drift path through LineageStore.append_verdicts exactly like
+    row_compare_verdicts / uniqueness_verdict do."""
+    from ..config import consts
+
+    out = drift_grouped(source, target, group_col, value_col, category_col)
+    return out.select(
+        F.col("group_key").alias("partition_id"),
+        "ks_stat",
+        "psi",
+        "n_source",
+        "n_target",
+        F.when(
+            (F.col("ks_stat") <= ks_threshold)
+            & (F.col("psi") <= psi_threshold),
+            F.lit(consts.VALIDATION_STATUS_SUCCESS),
+        )
+        .otherwise(F.lit(consts.VALIDATION_STATUS_FAIL))
+        .alias("validation_status"),
+    )

@@ -57,7 +57,8 @@ def token_count(
 
 
 def quality_score(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Heuristic quality features + composite score in [0,1].
 
@@ -106,6 +107,44 @@ def quality_score(
         F.round(upper_ratio, 6).alias("upper_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
+        *[F.col(c) for c in (extra_cols or [])],
+    )
+
+
+def quality_verdicts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col,
+    min_mean_quality: float = 0.2,
+) -> DataFrame:
+    """Per-group quality verdicts in the lineage-table shape — routes the
+    text-quality operator through LineageStore.append_verdicts like the
+    validation operators do. One scan + one groupBy."""
+    from ..config import consts
+
+    scored = quality_score(
+        df.withColumn("__g", group_col.cast("string")),
+        id_col,
+        text_col,
+        extra_cols=["__g"],
+    )
+    per = scored.groupBy(F.col("__g").alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+    )
+    return per.select(
+        "partition_id",
+        "n_docs",
+        "mean_quality",
+        "mean_tokens",
+        F.when(
+            F.col("mean_quality") >= min_mean_quality,
+            F.lit(consts.VALIDATION_STATUS_SUCCESS),
+        )
+        .otherwise(F.lit(consts.VALIDATION_STATUS_FAIL))
+        .alias("validation_status"),
     )
 
 

@@ -95,6 +95,71 @@ def test_resumable_run_skips_passed(spark, transcripts):
         assert second == failing
 
 
+def test_drift_and_training_verdicts_in_lineage(spark, transcripts):
+    """Round-2: drift / dedup / quality operators emit lineage-shaped
+    verdict frames and land in the store like the validation operators."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        dedup_verdicts,
+    )
+    from professional_services_data_validator_spark.operators.drift import (
+        drift_grouped_verdicts,
+    )
+    from professional_services_data_validator_spark.operators.text import (
+        quality_verdicts,
+    )
+
+    tgt = spark.table("transcripts_target")
+    with tempfile.TemporaryDirectory() as d:
+        store = LineageStore(spark, d + "/lineage")
+        ch = config_hash({"check": "drift+dedup+quality"})
+
+        drift_v = drift_grouped_verdicts(
+            transcripts, tgt,
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.length("text"),
+            F.col("role"),
+            ks_threshold=0.5, psi_threshold=0.5,
+        )
+        store.append_verdicts(drift_v, ch, "run-1", "drift")
+
+        dd_v = dedup_verdicts(
+            transcripts, "text", F.date_format("ts", "yyyy-MM-dd"),
+            max_dup_rate=0.9,
+        )
+        store.append_verdicts(dd_v, ch, "run-1", "dedup")
+
+        q_v = quality_verdicts(
+            transcripts, "event_id", "text",
+            F.date_format("ts", "yyyy-MM-dd"),
+            min_mean_quality=0.0,
+        )
+        store.append_verdicts(q_v, ch, "run-1", "quality")
+
+        lin = store.read()
+        by_stage = {
+            r["stage"]: r["n"]
+            for r in lin.groupBy("stage").agg(F.count("*").alias("n")).collect()
+        }
+        n_days = transcripts.select(
+            F.date_format("ts", "yyyy-MM-dd")
+        ).distinct().count()
+        assert by_stage == {"drift": n_days, "dedup": n_days, "quality": n_days}
+        # metrics JSON round-trips the operator's numbers
+        row = lin.filter(F.col("stage") == "drift").first()
+        import json
+
+        m = json.loads(row["metrics"])
+        assert {"ks_stat", "psi", "n_source", "n_target"} <= set(m)
+        # resume works on these stages too
+        pending = store.pending_partitions(
+            drift_v.select("partition_id"), ch, "drift"
+        )
+        n_failed = drift_v.filter(
+            F.col("validation_status") == "fail"
+        ).count()
+        assert pending.count() == n_failed
+
+
 def test_empty_store_reads_empty(spark):
     with tempfile.TemporaryDirectory() as d:
         store = LineageStore(spark, d + "/nothing")
