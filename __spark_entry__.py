@@ -827,7 +827,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_MINHASH = """
 WITH toks AS (
-  SELECT doc_id AS id, string_split(trim(text), ' ') AS t FROM documents),
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
 sh AS (
   SELECT DISTINCT id,
     array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
@@ -855,7 +855,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_NGRAM_JACCARD = """
 WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
-toks AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS t FROM docs),
+toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t FROM docs),
 sh AS (
   SELECT DISTINCT id,
     array_to_string(list_slice(t, i + 1, i + 2), ' ') AS shingle
@@ -887,7 +887,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SIMHASH = """
 WITH tok AS (
   SELECT doc_id AS id, md5(u.t) AS h
-  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(t)),
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), ' +')) AS u(t)),
 votes AS (
   SELECT id, count(*) AS n,
     {sums}
@@ -946,7 +946,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TOKEN_COUNT = """
-WITH t AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS toks,
+WITH t AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS toks,
                   length(text) AS n_chars
            FROM documents)
 SELECT id,
@@ -1014,7 +1014,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_FINGERPRINT = """
-WITH toks AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS t
+WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
               FROM documents),
 grams AS (
   SELECT id, list_sort(list_transform(
@@ -1288,7 +1288,7 @@ def q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_LSH_DEDUP = """
-WITH toks AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS t
+WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
               FROM documents),
 sh AS (
   SELECT DISTINCT id,
@@ -1351,7 +1351,7 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SIMHASH_NEAR = """
 WITH tok AS (
   SELECT doc_id AS id, md5(u.t) AS h
-  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(t)),
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), ' +')) AS u(t)),
 votes AS (
   SELECT id, count(*) AS n,
     {sums}
@@ -1398,7 +1398,7 @@ WITH base AS (
   SELECT doc_id AS id, text,
     CAST(length(text) AS DOUBLE) AS n_chars,
     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split(trim(text), ' ')) END AS DOUBLE) AS n_toks,
+         ELSE len(regexp_split_to_array(trim(text), ' +')) END AS DOUBLE) AS n_toks,
     CAST(length(text)
          - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
       AS n_punct,

@@ -80,6 +80,11 @@ def run_suite(
             ).save()
 
     timings: dict[str, float] = {}
+    # steal/user sampled around JUST the timed loop (not Spark startup,
+    # fixture prep or the untimed warmup): 'steal during run' must describe
+    # the timed region, or min-of-tries can select a run whose interference
+    # landed only in the untimed window.
+    cpu_a = _read_cpu_stat()
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
@@ -87,10 +92,17 @@ def run_suite(
         # result rows through single-threaded driver serialization
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    cpu_b = _read_cpu_stat()
     total = round(sum(timings.values()), 3)
     spark.stop()
     entrymod._PREPPED.clear()
-    return timings, total, n_rows
+    d = [y - x for x, y in zip(cpu_a, cpu_b)]
+    tot = sum(d) or 1
+    cpu = {
+        "steal_pct": round(100 * d[7] / tot, 1),
+        "user_pct": round(100 * d[0] / tot, 1),
+    }
+    return timings, total, n_rows, cpu
 
 
 def _read_cpu_stat() -> list[int]:
@@ -126,16 +138,13 @@ def _run_suite_subprocess(master: str, replicate: int, ncores: int = 0) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__)]
     if ncores and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
-    a = _read_cpu_stat()
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, check=True
     )
-    b = _read_cpu_stat()
-    d = [y - x for x, y in zip(a, b)]
-    tot = sum(d) or 1
     res = json.loads(out.stdout.strip().splitlines()[-1])
-    res["steal_pct"] = round(100 * d[7] / tot, 1)
-    res["user_pct"] = round(100 * d[0] / tot, 1)
+    # steal_pct/user_pct come from the CHILD, sampled around just the timed
+    # loop — the parent's whole-subprocess window would dilute them with
+    # Spark startup + warmup
     return res
 
 
@@ -212,7 +221,9 @@ def main() -> None:
         # timed region into actual compute while keeping the suite <30s.
         rep = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "10"))
         only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-        timings, total, n = run_suite(master, SF_DIR, replicate=rep, only=only)
+        timings, total, n, cpu = run_suite(
+            master, SF_DIR, replicate=rep, only=only
+        )
         result["replicate"] = rep
         result.update(
             {
@@ -220,6 +231,7 @@ def main() -> None:
                 "queries": timings,
                 "rows": n,
                 "turns_per_sec": round(n / total, 1),
+                **cpu,
             }
         )
     print(json.dumps(result))

@@ -66,11 +66,14 @@ def media_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode_image(payload: bytes, w: int, h: int) -> tuple[int, int, float]:
+def _fake_decode_image(payload: bytes, w: int, h: int) -> tuple:
     """STUB decode: deterministic pseudo-decode from payload bytes.
-    Production: PIL.Image.open(io.BytesIO(payload)) -> real dims/stats."""
+    Production: PIL.Image.open(io.BytesIO(payload)) -> real dims/stats.
+    NULL payload -> all-None features (an undecodable asset is unknown,
+    not a black image — and SQL aggregation/oracle semantics agree on
+    NULL, where a fake 0.0 silently diverged)."""
     if payload is None:
-        return (0, 0, 0.0)
+        return (None, None, None)
     width = w or (payload[0] << 4) + 16
     height = h or (payload[1] << 3) + 16
     mean_px = sum(payload) / len(payload) / 255.0
@@ -103,9 +106,16 @@ def decode_media(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 {
                     "id": pdf["id"],
                     "modality": pdf["modality"],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "mean_px": [d[2] for d in decoded],
+                    # nullable dtypes: None must arrive as SQL NULL, not NaN
+                    "width": pd.array(
+                        [d[0] for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] for d in decoded], dtype="Int32"
+                    ),
+                    "mean_px": pd.array(
+                        [d[2] for d in decoded], dtype="Float64"
+                    ),
                 }
             )
 

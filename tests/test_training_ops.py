@@ -268,3 +268,25 @@ def test_multimodal_plumbing(spark, sf_dir):
     plan = frame_sample_plan(media, every_n=10).collect()
     assert all(r.frame_indices[0] == 0 for r in plan)
     assert all(len(r.frame_indices) >= 1 for r in plan)
+
+
+def test_decode_media_null_payload_yields_null_features(spark):
+    """An undecodable (NULL) asset must produce NULL features, not a fake
+    black image — SQL aggregates and the DuckDB oracle agree on NULL."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        "id long, modality string, payload binary, "
+        "meta struct<source:string, declared_w:int, declared_h:int>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytes(range(16)), ("s", 100, 100)),
+            (2, "image", None, ("s", 100, 100)),
+        ],
+        schema,
+    )
+    rows = {r.id: r for r in decode_media(df).collect()}
+    assert rows[1].mean_px is not None and rows[1].width == 100
+    assert rows[2].mean_px is None
+    assert rows[2].width is None and rows[2].height is None
