@@ -12,7 +12,9 @@ Type names are normalized to Spark simpleStrings; the allow-list accepts
 
 from __future__ import annotations
 
+import itertools
 import logging
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -54,6 +56,72 @@ def _is_widening(src: str, tgt: str) -> bool:
     return False
 
 
+# --allow-list parsing with precision/scale range expansion
+# (reference schema_validation.py:231-329: split_allow_list_str,
+#  expand_precision_range, expand_precision_or_scale_range, parse_allow_list)
+
+_RANGE_RE = re.compile(r"^([0-9]+)-([0-9]+)$")
+_PAREN_TYPE_RE = re.compile(r"^([a-z0-9_ ]+)\(([0-9\-]+)(?:,([0-9\-]+))?\)$")
+# one datatype token: name with optional (precision[,scale]) where each part
+# may be a range; pairs are 'type:type' joined by commas
+_TYPE_TOKEN = r"[a-z0-9_ ]+(?:\((?:[0-9 ,\-]+|'UTC')\))?"
+_PAIR_RE = re.compile(f"({_TYPE_TOKEN}):({_TYPE_TOKEN})", re.I)
+
+
+def expand_precision_range(s: str) -> list[str]:
+    """'0-3' -> ['0','1','2','3']; non-range strings pass through
+    (reference schema_validation.py:252-268)."""
+    m = _RANGE_RE.match(s)
+    if not m:
+        return [s]
+    lo, hi = int(m.group(1)), int(m.group(2))
+    if lo >= hi:
+        raise ValueError(
+            f"invalid allow-list precision/scale range {s!r}: "
+            f"lower {lo} >= upper {hi}"
+        )
+    return [str(v) for v in range(lo, hi + 1)]
+
+
+def expand_type_ranges(data_type: str) -> list[str]:
+    """'decimal(1-3,0)' -> ['decimal(1,0)','decimal(2,0)','decimal(3,0)']
+    (reference schema_validation.py:271-295)."""
+    m = _PAREN_TYPE_RE.match(data_type.replace(" ", ""))
+    if not m:
+        return [data_type]
+    name, p, s = m.groups()
+    p_list = expand_precision_range(p)
+    if s:
+        s_list = expand_precision_range(s)
+        return [
+            f"{name}({pp},{ss})"
+            for pp, ss in itertools.product(p_list, s_list)
+        ]
+    return [f"{name}({pp})" for pp in p_list]
+
+
+def parse_allow_list(allow_list: str) -> dict[str, set[str]]:
+    """'decimal(38,0-9):int64,int32:int64' -> expanded src->targets map
+    (reference schema_validation.py:297-329). Comma-aware: commas inside
+    (precision,scale) do not split pairs."""
+    allow: dict[str, set[str]] = {}
+    matched_spans = []
+    for m in _PAIR_RE.finditer(allow_list):
+        matched_spans.append(m.group(0))
+        src_t, tgt_t = (g.replace(" ", "") for g in m.groups())
+        for s_exp in expand_type_ranges(src_t):
+            for t_exp in expand_type_ranges(tgt_t):
+                allow.setdefault(s_exp, set()).add(t_exp)
+    leftover = allow_list
+    for span in matched_spans:
+        leftover = leftover.replace(span, "", 1)
+    if leftover.strip().strip(","):
+        raise ValueError(
+            f"invalid allow-list data type pairs near {leftover.strip()!r}"
+        )
+    return allow
+
+
 def schema_validation_matching(
     source_fields: dict[str, str],
     target_fields: dict[str, str],
@@ -69,11 +137,7 @@ def schema_validation_matching(
         src.pop(f.casefold(), None)
         tgt.pop(f.casefold(), None)
 
-    allow: dict[str, set[str]] = {}
-    if allow_list:
-        for pair in allow_list.split(","):
-            s, _, t = pair.strip().partition(":")
-            allow.setdefault(s.strip(), set()).add(t.strip())
+    allow = parse_allow_list(allow_list) if allow_list else {}
 
     results = []
     S, FA = consts.VALIDATION_STATUS_SUCCESS, consts.VALIDATION_STATUS_FAIL

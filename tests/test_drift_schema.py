@@ -127,6 +127,48 @@ def test_schema_allow_list_and_exclusion():
     assert "c" not in by_col  # excluded
 
 
+def test_schema_allow_list_range_expansion():
+    """Reference --allow-list range syntax (schema_validation.py:252-329):
+    'decimal(2-4,0):int' covers decimal(2,0)/(3,0)/(4,0); commas inside
+    (precision,scale) do not split pairs."""
+    import pytest
+
+    from professional_services_data_validator_spark.schema_validation import (
+        expand_type_ranges,
+        parse_allow_list,
+    )
+
+    assert expand_type_ranges("decimal(1-3,0)") == [
+        "decimal(1,0)", "decimal(2,0)", "decimal(3,0)"
+    ]
+    assert expand_type_ranges("decimal(38,0-2)") == [
+        "decimal(38,0)", "decimal(38,1)", "decimal(38,2)"
+    ]
+    assert expand_type_ranges("int64") == ["int64"]
+
+    allow = parse_allow_list("decimal(2-3,0-1):int,string:binary")
+    assert allow["decimal(2,0)"] == {"int"}
+    assert allow["decimal(3,1)"] == {"int"}
+    assert allow["string"] == {"binary"}
+
+    # comma inside parens on both sides of the colon
+    allow2 = parse_allow_list("decimal(38,9):decimal(38,18)")
+    assert allow2 == {"decimal(38,9)": {"decimal(38,18)"}}
+
+    with pytest.raises(ValueError, match="lower"):
+        parse_allow_list("decimal(5-2,0):int")
+    with pytest.raises(ValueError, match="invalid allow-list"):
+        parse_allow_list("string-binary")
+
+    # end-to-end through the matcher
+    res = schema_validation_matching(
+        {"d": "decimal(3,0)"},
+        {"d": "int"},
+        allow_list="decimal(2-4,0):int",
+    )
+    assert res[0][4] == "success"
+
+
 def test_schema_report_shape(spark, transcripts):
     tgt = spark.table("transcripts_target")
     rep = schema_validation_report(spark, transcripts, tgt)
