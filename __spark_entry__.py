@@ -1547,6 +1547,109 @@ _TRAINING_QUERIES["embedding_kmeans_ann"] = q_embedding_kmeans
 # the rows-only check for this one by design.
 
 
+# ===========================================================================
+# Round-2 widening: TF-IDF weighting + SRP embedding near-dup
+# ===========================================================================
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency weighting (round-1 gap): top-3 TF-IDF terms per
+    document, rank computed on the rounded score so cross-engine ties break
+    identically on the token."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(
+        spark.table("documents"), "doc_id", "text", top_k=3
+    ).orderBy("id", "rank")
+
+
+_SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id AS id, u.t AS token
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), ' +')) AS u(t)
+  WHERE u.t <> ''),
+tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY id, token),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT id, token, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN dft USING (token), nd),
+ranked AS (
+  SELECT id, token, tfidf,
+    row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, token) AS rank
+  FROM scored)
+SELECT id, rank, token, CAST(tfidf AS DOUBLE) AS tfidf
+FROM ranked WHERE rank <= 3 ORDER BY id, rank
+"""
+
+
+def q_srp_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-random-projection LSH: pigeonhole
+    chunk blocking on the 16-bit SRP signature (bucketed equi-join, never
+    the quadratic all-pairs), exact-cosine verification on candidates only
+    (Charikar '02 SRP; same blocking shape as simhash_near_pairs)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.similarity import (
+        srp_near_pairs,
+    )
+
+    return srp_near_pairs(
+        spark.table("embeddings"), bits=16, seed=42,
+        max_hamming=3, min_cosine=0.2,
+    ).orderBy("id_a", "id_b")
+
+
+def _srp_oracle_sql() -> str:
+    from professional_services_data_validator_spark.operators.similarity import (
+        srp_planes,
+    )
+
+    planes = srp_planes(64, 16, 42)
+    bit_terms = []
+    for b, plane in enumerate(planes):
+        lits = ", ".join(f"{float(x)}" for x in plane)
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product("
+            f"list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+            f"[{lits}]) >= 0 THEN {2 ** b} ELSE 0 END)"
+        )
+    sig_expr = " + ".join(bit_terms)
+    return f"""
+WITH sig AS (
+  SELECT vec_id AS id, embedding, CAST({sig_expr} AS BIGINT) AS srp_sig
+  FROM embeddings),
+chunks AS (
+  SELECT id, srp_sig, u.i AS chunk_idx,
+         (srp_sig >> (u.i * 4)) % 16 AS chunk_val
+  FROM sig, UNNEST(range(0, 4)) AS u(i)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.id < b.id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    CAST(bit_count(xor(sa.srp_sig, sb.srp_sig)) AS INT) AS hamming,
+    round(list_cosine_similarity(
+      list_transform(sa.embedding, x -> CAST(x AS DOUBLE)),
+      list_transform(sb.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+  FROM cand c
+  JOIN sig sa ON sa.id = c.id_a
+  JOIN sig sb ON sb.id = c.id_b)
+SELECT id_a, id_b, hamming, CAST(cos AS DOUBLE) AS cos
+FROM verified WHERE hamming <= 3 AND cos >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+_TRAINING_QUERIES["tfidf_top_terms"] = q_tfidf
+_TRAINING_ORACLES["tfidf_top_terms"] = _SQL_TFIDF
+_TRAINING_QUERIES["srp_embedding_near_pairs"] = q_srp_near
+_TRAINING_ORACLES["srp_embedding_near_pairs"] = _srp_oracle_sql()
+
+
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-harness variants of the headline queries: identical plans minus
     the final global orderBy (contract queries sort only so the driver's

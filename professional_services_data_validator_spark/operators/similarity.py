@@ -122,6 +122,134 @@ def label_centroids(
     )
 
 
+def srp_planes(dim: int, bits: int = 16, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 random hyperplanes from md5 — engine-portable, so
+    the same planes can be inlined into a SQL oracle."""
+    import hashlib
+
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{b}|{d}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Sign-random-projection (SimHash-for-vectors) signature: bit b is the
+    sign of <vec, plane_b>. P(bits agree) = 1 - angle/pi, so close-cosine
+    vectors land in close signatures — the LSH structure for embedding
+    near-dup detection (Charikar '02). All JVM-side literal-array folds."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = srp_planes(dim, bits, seed)
+    sig = None
+    for b, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, p: a.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sig.cast("long").alias("srp_sig"),
+    )
+
+
+def srp_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    seed: int = 42,
+    max_hamming: int = 2,
+    min_cosine: float = 0.3,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs WITHOUT the quadratic self-join:
+    pigeonhole chunk blocking on the SRP signature (two signatures within
+    hamming d share at least one of d+1 chunks -> bucketed equi-join on
+    (chunk_idx, chunk_val)), then exact cosine verification on the
+    candidates only. Output: (id_a, id_b, hamming, cos) with cos rounded
+    for cross-engine comparability."""
+    n_chunks = n_chunks or (max_hamming + 1)
+    chunk_bits = bits // n_chunks
+    sigs = srp_signature(df, id_col, vec_col, bits, seed)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                (
+                    F.shiftright(F.col("srp_sig"), i * chunk_bits)
+                    % F.lit(2 ** chunk_bits)
+                ).alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    chunks = sigs.select(
+        "id", "vec", "srp_sig", F.explode(chunk_structs).alias("ch")
+    ).select(
+        "id", "vec", "srp_sig",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_val").alias("chunk_val"),
+    )
+    a = chunks.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("srp_sig").alias("sig_a"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("srp_sig").alias("sig_b"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "va",
+            "vb",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+    )
+
+
 def _center_score(vec_col: Column, center: list[float]) -> Column:
     """cosine(vec, literal centroid) with the centroid's norm precomputed
     driver-side — one JVM fold per row per centroid, no Python."""

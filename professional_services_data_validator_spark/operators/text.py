@@ -148,6 +148,64 @@ def quality_verdicts(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (document-frequency weighting — the
+    round-1 gap). All built-ins:
+
+    - tokenize (regex split, same tokenizer as the dedup/text family),
+    - tf: groupBy(id, token) count — one shuffle of (id, token),
+    - df: groupBy(token) distinct-doc count — aggregated from tf, no second
+      scan,
+    - idf = ln(N / df) with N broadcast (single-row cross join),
+    - per-doc top-k via window rank, ties broken by token for determinism.
+
+    At 10^12 rows both aggregations are plain hash aggregates; the token
+    vocabulary (not the corpus) bounds the df side, and the final window
+    partitions by doc id — no global sort anywhere.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.col(text_col)), " +")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )  # tf already has one row per (doc, token)
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "rank", "token", "tfidf")
+    )
+
+
 def language_id(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -270,6 +270,68 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert all(len(r.frame_indices) >= 1 for r in plan)
 
 
+def test_tfidf_top_terms(spark):
+    from professional_services_data_validator_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana"),
+            Row(doc_id=2, text="banana cherry"),
+            Row(doc_id=3, text="cherry cherry cherry durian"),
+        ]
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", top_k=2).collect()
+    import math
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append((r.rank, r.token, r.tfidf))
+    # 'apple' appears twice in doc1 only: tfidf = 2*ln(3/1)
+    assert by_doc[1][0][1] == "apple"
+    assert abs(by_doc[1][0][2] - round(2 * math.log(3), 6)) < 1e-9
+    # 'banana' in 2 of 3 docs: ln(3/2) beats nothing else in doc2 but cherry
+    assert by_doc[3][0][1] == "cherry"  # 3*ln(3/2)
+    assert all(rs == sorted(rs) for rs in by_doc.values())
+
+
+def test_srp_near_pairs_blocking_and_verify(spark):
+    """SRP near-dup: identical vectors always pair (hamming 0, cos 1);
+    orthogonal vectors never survive the cosine verify; candidate set comes
+    from bucketed chunks, not all pairs."""
+    from professional_services_data_validator_spark.operators.similarity import (
+        srp_near_pairs,
+        srp_planes,
+        srp_signature,
+    )
+
+    dim = 8
+    v = [1.0] * dim
+    w = [1.0] * 4 + [-1.0] * 4  # orthogonal to v
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)], "vec_id long, embedding array<double>"
+    )
+    pairs = srp_near_pairs(
+        df, bits=8, max_hamming=1, min_cosine=0.5, n_chunks=2
+    ).collect()
+    keys = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in keys
+    got = next(r for r in pairs if (r.id_a, r.id_b) == (1, 2))
+    assert got.hamming == 0 and abs(got.cos - 1.0) < 1e-9
+    assert (1, 3) not in keys and (2, 3) not in keys
+
+    # deterministic planes: same seed -> same signature across partitionings
+    s1 = {r.id: r.srp_sig for r in srp_signature(df, bits=8).collect()}
+    s2 = {
+        r.id: r.srp_sig
+        for r in srp_signature(df.repartition(5), bits=8).collect()
+    }
+    assert s1 == s2
+    assert srp_planes(4, 2, 42) == srp_planes(4, 2, 42)
+    assert srp_planes(4, 2, 42) != srp_planes(4, 2, 43)
+
+
 def test_decode_media_null_payload_yields_null_features(spark):
     """An undecodable (NULL) asset must produce NULL features, not a fake
     black image — SQL aggregates and the DuckDB oracle agree on NULL."""
