@@ -92,6 +92,81 @@ def stream_uniqueness_alerts(
     )
 
 
+TURN_ORDER_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx long, max_seen long, violation string"
+)
+_TURN_ORDER_STATE_SCHEMA = "max_idx long, n_turns long"
+
+
+def stream_turn_order_monitor(
+    stream: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-conv
+    monotone turn-order monitor — the north-star's 'stable turn ordering
+    within conv_id' invariant checked incrementally.
+
+    State per conversation = (max turn_idx seen, turn count): O(1) per key,
+    expired after ``timeout_ms`` of inactivity so 10^12 streaming turns
+    never accumulate unbounded state. Microbatch semantics are SET-wise
+    (shuffle order within a batch is nondeterministic, so the check must
+    not depend on arrival order): a turn <= the state's max_seen is an
+    'out_of_order' violation; a turn repeated within the batch is a
+    'duplicate_in_batch' violation. All numpy-vectorized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fn(key, pdf_iter, state: GroupState):
+        max_idx, n_turns = state.get if state.exists else (-1, 0)
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = []
+        for pdf in pdf_iter:
+            turns = np.sort(pdf[turn_col].to_numpy().astype("int64"))
+            if len(turns) == 0:
+                continue
+            stale = turns[turns <= max_idx]
+            dups = turns[1:][turns[1:] == turns[:-1]]
+            rows += [
+                (key[0], int(t), max_idx, "out_of_order") for t in stale
+            ]
+            rows += [
+                (key[0], int(t), max_idx, "duplicate_in_batch")
+                for t in dups
+                if t > max_idx  # stale dups already reported above
+            ]
+            max_idx = max(max_idx, int(turns[-1]))
+            n_turns += int(len(turns))
+        state.update((max_idx, n_turns))
+        state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "max_seen", "violation"],
+            )
+
+    return (
+        stream.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).cast("long").alias(turn_col),
+        )
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=TURN_ORDER_OUTPUT_SCHEMA,
+            stateStructType=_TURN_ORDER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def foreachBatch_validate(reference_df: DataFrame, lineage_store=None,
                           cfg_hash: str = "stream", run_id: str = "stream"):
     """Returns a foreachBatch function validating every microbatch against

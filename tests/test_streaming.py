@@ -76,6 +76,60 @@ def test_stream_uniqueness_alerts(spark, transcripts):
         assert all(r.dup_count == 2 for r in alerts)
 
 
+def test_stateful_turn_order_monitor(spark):
+    """applyInPandasWithState custom operator: per-conv max-turn state
+    persists across microbatches (one file per trigger); stale turns in a
+    later batch surface as out_of_order, in-batch repeats as duplicates."""
+    import os
+
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_turn_order_monitor,
+    )
+
+    # ignore_cleanup_errors: RocksDB/HDFS state-store maintenance threads
+    # may still touch the checkpoint dir while rmtree runs
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
+        src = d + "/turns"
+        os.makedirs(src)
+        batch1 = spark.createDataFrame(
+            [("a", 0), ("a", 1), ("a", 2), ("b", 0), ("b", 0)],
+            "conv_id string, turn_idx long",
+        )
+        batch2 = spark.createDataFrame(
+            [("a", 1), ("a", 3), ("b", 5)],
+            "conv_id string, turn_idx long",
+        )
+        batch1.coalesce(1).write.parquet(src + "/f=1")
+        batch2.coalesce(1).write.parquet(src + "/f=2")
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        out = stream_turn_order_monitor(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("order_out")
+            .outputMode("append")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        got = {
+            (r.conv_id, r.turn_idx, r.violation)
+            for r in spark.table("order_out").collect()
+        }
+        # batch1: b has an in-batch duplicate of turn 0
+        assert ("b", 0, "duplicate_in_batch") in got
+        # batch2: a's turn 1 is stale (state max_seen = 2 from batch1)
+        assert ("a", 1, "out_of_order") in got
+        # monotone progress is never flagged
+        assert not any(c == "a" and t in (0, 2, 3) for c, t, _ in got)
+        assert not any(c == "b" and t == 5 for c, t, _ in got)
+
+
 def test_foreachbatch_reuses_batch_operators(spark, transcripts):
     import tempfile
 
