@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=8,
         help="manifest partition count (with --partition-keys)",
     )
+    p.add_argument(
+        "--emit-manifest",
+        default=None,
+        help="also write the partition manifest table (partition_id, "
+        "bounds, where_clause) to this path — the analog of reference "
+        "generate-table-partitions' per-partition YAML emission",
+    )
     p.add_argument("--output", help="report output path (parquet append)")
     p.add_argument(
         "--filter-status", choices=["success", "fail"], help="report filter"
@@ -128,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
 
         pkeys = [k.strip() for k in args.partition_keys.split(",")]
         manifest = partition_manifest(source, pkeys, args.num_partitions)
+        if args.emit_manifest:
+            manifest.coalesce(1).write.mode("overwrite").parquet(
+                args.emit_manifest
+            )
         if args.resume:
             pending = store.pending_partitions(
                 manifest, ch, config.validation_type

@@ -135,6 +135,9 @@ class ValidationConfig:
     hash_columns: object = None
     trim_string_pks: bool = False
     case_insensitive_match: bool = False
+    # Schema validation knobs (reference --allow-list / --exclusion-columns)
+    allow_list: str | None = None
+    exclusion_columns: list[str] = field(default_factory=list)
     # grouped timestamp columns auto-cast to date
     # (reference query_builder.py:251-252)
     cast_group_timestamps_to_date: bool = True
@@ -160,4 +163,6 @@ class ValidationConfig:
             hash_columns=d.get("hash_columns"),
             trim_string_pks=bool(d.get("trim_string_pks", False)),
             case_insensitive_match=bool(d.get("case_insensitive_match", False)),
+            allow_list=d.get("allow_list"),
+            exclusion_columns=list(d.get("exclusion_columns", [])),
         )

@@ -106,6 +106,20 @@ def run_validation(
     if vtype in (consts.COLUMN_VALIDATION, consts.GROUPED_COLUMN_VALIDATION):
         return build_column_validation_report(source, target, config, run_metadata)
 
+    if vtype == consts.SCHEMA_VALIDATION:
+        from ..schema_validation import schema_validation_report
+
+        return schema_validation_report(
+            spark or source.sparkSession,
+            source,
+            target,
+            source_table=config.source_table,
+            target_table=config.target_table,
+            exclusion_fields=config.exclusion_columns or None,
+            allow_list=config.allow_list,
+            run_metadata=run_metadata,
+        )
+
     if vtype == consts.ROW_VALIDATION:
         src = apply_calculated_fields(source, config.calculated_fields)
         tgt = apply_calculated_fields(target, config.calculated_fields)

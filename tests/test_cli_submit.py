@@ -73,6 +73,34 @@ def test_cli_main_in_process(spark):
         assert rc2 == 1
 
 
+def test_cli_schema_validation_and_manifest_emission(spark):
+    """Schema validation dispatches through run_validation (round-2 fix:
+    previously only reachable via the library call), and --emit-manifest
+    writes the runnable partition units."""
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_fixtures(spark, d)
+        cfg = d + "/schema.yaml"
+        with open(cfg, "w") as f:
+            f.write("type: Schema\nallow_list: 'int:bigint'\n")
+        rc = main(
+            [
+                "--config", cfg,
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+                "--lineage-dir", d + "/lineage",
+                "--partition-keys", "conv_id,turn_idx",
+                "--num-partitions", "4",
+                "--emit-manifest", d + "/manifest",
+            ]
+        )
+        assert rc == 0  # identical schemas -> success exit
+        man = spark.read.parquet(d + "/manifest")
+        assert man.count() == 4
+        assert "where_clause" in man.columns
+
+
 def test_cli_row_manifest_resume(spark):
     """Row validation with a PK-range partition manifest: verdicts land in
     lineage per manifest partition, and --resume prunes passed ranges from
