@@ -39,6 +39,17 @@ HEADLINE = [
     "salted_agg_parity",
 ]
 
+# training-data pipeline operators, timed separately (documents/embeddings
+# tables); reported under "training_queries" so the headline metric keeps
+# round-over-round continuity.
+TRAINING_BENCH = [
+    "lsh_dedup_pairs",
+    "simhash_near_pairs",
+    "tfidf_top_terms",
+    "srp_embedding_near_pairs",
+    "embedding_kmeans_ann",
+]
+
 
 def run_suite(
     master: str, sf_dir: str, replicate: int = 1, only: str | None = None
@@ -73,8 +84,14 @@ def run_suite(
     # generated classes is a fixed per-JVM cost (~10s for the heavy join) that
     # would otherwise be billed to the timed region — and billed unequally
     # across parallelism levels. Steady-state throughput is the honest metric.
+    warm_training = (
+        not only and os.environ.get("SPARK_GRAFT_BENCH_TRAINING", "1") == "1"
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") == "1":
-        for name in names:
+        warm_names = names + (
+            [n for n in TRAINING_BENCH if n in queries] if warm_training else []
+        )
+        for name in warm_names:
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -94,6 +111,16 @@ def run_suite(
         timings[name] = round(time.perf_counter() - t0, 3)
     cpu_b = _read_cpu_stat()
     total = round(sum(timings.values()), 3)
+    training: dict[str, float] = {}
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_TRAINING", "1") == "1":
+        for name in TRAINING_BENCH:
+            if name not in queries:
+                continue
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            training[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
     entrymod._PREPPED.clear()
     d = [y - x for x, y in zip(cpu_a, cpu_b)]
@@ -102,6 +129,8 @@ def run_suite(
         "steal_pct": round(100 * d[7] / tot, 1),
         "user_pct": round(100 * d[0] / tot, 1),
     }
+    if training:
+        cpu["training_queries"] = training
     return timings, total, n_rows, cpu
 
 

@@ -80,6 +80,21 @@ NOTES = {
         "exchange over data rows; the only tiny global sort is the final "
         "orderBy over the N boundary rows themselves."
     ),
+    "tfidf_top_terms": (
+        "TF-IDF: explode -> two hash aggregates (tf by (doc, token); df "
+        "re-aggregated FROM tf, no second corpus scan) -> broadcast N -> "
+        "per-doc window top-k (partitionBy doc id, never global). The df "
+        "side is bounded by vocabulary, not corpus; at 100 TB the only "
+        "O(data) stages are the token explode and the (doc, token) shuffle."
+    ),
+    "srp_embedding_near_pairs": (
+        "SRP LSH near-dup: 16 literal-array dot-product folds per row "
+        "(whole-stage codegen, no Python, no shuffle) -> signature chunk "
+        "explode (4x) -> bucketed self-equi-join on (chunk_idx, chunk_val) "
+        "-> hamming + exact-cosine verify on candidates only. Candidate "
+        "count ~ sum of bucket^2 sizes, not n^2 — the quadratic all-pairs "
+        "never materializes."
+    ),
 }
 
 
