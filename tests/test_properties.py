@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the numeric-formatting and
+partition-planning kernels — independent Python models, randomized inputs.
+
+Spark round-trips are expensive, so each property batches all generated
+examples into ONE DataFrame/job instead of one job per example.
+"""
+
+import decimal
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from professional_services_data_validator_spark.functions.calculated import (
+    to_char_number,
+)
+from professional_services_data_validator_spark.operators.partitioning import (
+    partition_where_clauses,
+)
+
+
+# --- independent to_char model (decimal module, not the Spark expression) ---
+
+def _py_to_char(v: float, int_fmt: str, frac_fmt: str, fm: bool) -> str:
+    if v is None:
+        return None
+    q = decimal.Decimal(1).scaleb(-len(frac_fmt)) if frac_fmt else decimal.Decimal(1)
+    d = decimal.Decimal(repr(v)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    sign = "-" if d < 0 else ("" if fm else " ")
+    d = abs(d)
+    txt = f"{d:f}"
+    ip, _, fp = txt.partition(".")
+    fp = fp.ljust(len(frac_fmt), "0")[: len(frac_fmt)]
+    ip_sig = ip.lstrip("0")
+    has_point = bool(frac_fmt) or False
+    first_zero = int_fmt.find("0")
+    min_int = len(int_fmt) - first_zero if first_zero >= 0 else 0
+    if not frac_fmt and ip_sig == "":
+        ip_sig = "0"
+    if len(ip_sig) < min_int:
+        ip_sig = ip_sig.rjust(min_int, "0")
+    width = len(int_fmt) + (1 if frac_fmt else 0) + len(frac_fmt) + 1
+    if len(ip.lstrip("0") or ("" if frac_fmt else "0")) > len(int_fmt):
+        return "#" * width
+    if fm and frac_fmt:
+        last_zero = frac_fmt.rfind("0")
+        min_frac = last_zero + 1 if last_zero >= 0 else 0
+        fp = fp.rstrip("0")
+        if len(fp) < min_frac:
+            fp = fp.ljust(min_frac, "0")
+    body = sign + ip_sig + (("." + fp) if frac_fmt else "")
+    if not fm and len(body) < width:
+        body = body.rjust(width, " ")
+    return body
+
+
+_NUM = st.one_of(
+    st.integers(min_value=-999, max_value=999).map(lambda x: x / 8.0),
+    st.integers(min_value=-99999, max_value=99999).map(lambda x: x / 100.0),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(_NUM, min_size=1, max_size=40),
+    int_fmt=st.sampled_from(["9", "90", "99", "900", "999"]),
+    frac_fmt=st.sampled_from(["", "0", "09", "099", "99"]),
+    fm=st.booleans(),
+)
+def test_to_char_matches_decimal_model(spark, vals, int_fmt, frac_fmt, fm):
+    fmt = ("FM" if fm else "") + int_fmt + (("." + frac_fmt) if frac_fmt else "")
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r.s
+        for r in df.coalesce(1)
+        .select(to_char_number(F.col("v"), fmt).alias("s"))
+        .collect()
+    ]
+    want = [_py_to_char(v, int_fmt, frac_fmt, fm) for v in vals]
+    assert got == want, f"fmt={fmt}"
+
+
+# --- partition clause properties: disjoint + exhaustive for any key set ----
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    keys=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=4,
+        max_size=60,
+        unique=True,
+    ),
+    n_parts=st.integers(min_value=2, max_value=5),
+)
+def test_where_clauses_disjoint_exhaustive(spark, keys, n_parts):
+    from professional_services_data_validator_spark.operators.partitioning import (
+        partition_boundaries,
+    )
+
+    df = spark.createDataFrame(keys, "k string, i int")
+    rows = partition_boundaries(df, ["k", "i"], n_parts).collect()
+    clauses = partition_where_clauses(rows, ["k", "i"])
+    marked = df.select(
+        "k",
+        "i",
+        *[
+            F.expr(c).cast("int").alias(f"m{j}")
+            for j, c in enumerate(clauses)
+        ],
+    ).collect()
+    for r in marked:
+        hits = sum(r[f"m{j}"] for j in range(len(clauses)))
+        assert hits == 1, f"row {(r.k, r.i)} matched {hits} partitions"
