@@ -69,6 +69,30 @@ def write_report(
         w.write.mode("append").format(fmt).save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_keys: list[str],
+    n_buckets: int = 32,
+    sort_keys: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and sorted) on the validation PK so the
+    row-validation full-outer join needs NO shuffle and NO sort: both sides
+    arrive hash-bucketed and sorted on (conv_id, turn_idx) and SortMergeJoin
+    zips them. This is the materialization the in-code scale notes call for
+    at 10^12 turns (Iceberg: the same effect via identity/bucket partition
+    transforms + sorted data files). Plan-level proof in
+    tests/test_bucketed_join.py: zero Exchange operators in the join."""
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_keys)
+        .sortBy(*(sort_keys or bucket_keys))
+        .saveAsTable(table)
+    )
+
+
 def report_to_text(
     report: DataFrame,
     status_filter: str | None = None,
