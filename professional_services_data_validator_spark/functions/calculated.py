@@ -344,10 +344,16 @@ def build_row_hash(
     trim_strings: bool = True,
     case_insensitive: bool = False,
     hash_name: str = "hash__all",
+    algo: str = "sha256",
 ) -> DataFrame:
     """The ``--hash '*'`` chain in one shot:
-    cast(string) -> ifnull -> rstrip -> [upper] -> concat_ws -> sha256
+    cast(string) -> ifnull -> rstrip -> [upper] -> concat_ws -> hash
     (reference config_manager.py:1064-1074 + 1097-1161).
+
+    ``algo``: 'sha256' (reference default, cross-engine parity hash) or
+    'farm_fingerprint' (reference's fast BigQuery path, mapped to xxhash64 —
+    non-cryptographic, ~10x cheaper per row; use when both sides run on this
+    engine and the hash never leaves the join).
 
     Column order is the given ``columns`` order (the reference sorts its
     expansion by table column order; callers pass that order in).
@@ -361,4 +367,11 @@ def build_row_hash(
         if case_insensitive:
             col = F.upper(col)
         parts.append(col)
-    return df.withColumn(hash_name, F.sha2(F.concat_ws("", *parts), 256))
+    concat = F.concat_ws("", *parts)
+    if algo == "sha256":
+        h = F.sha2(concat, 256)
+    elif algo == "farm_fingerprint":
+        h = F.xxhash64(concat).cast("string")
+    else:
+        raise ValueError(f"unsupported row-hash algo {algo!r}")
+    return df.withColumn(hash_name, h)

@@ -35,9 +35,10 @@ def _prepare(
     hash_columns,
     trim_string_pks: bool,
     case_insensitive: bool,
+    hash_algo: str = "sha256",
 ) -> tuple[DataFrame, list[str]]:
     """Project to PK + comparison columns (either explicit fields or one
-    sha256 row hash)."""
+    row hash — sha256 by default, farm_fingerprint/xxhash64 fast path)."""
     if hash_columns is not None:
         cols = (
             [c for c in df.columns if c not in primary_keys]
@@ -45,7 +46,7 @@ def _prepare(
             else list(hash_columns)
         )
         out = build_row_hash(
-            df, cols, case_insensitive=case_insensitive
+            df, cols, case_insensitive=case_insensitive, algo=hash_algo
         ).select(*primary_keys, "hash__all")
         return out, ["hash__all"]
     names = []
@@ -109,7 +110,7 @@ def row_compare(
     )
 
 
-def _joined(source, target, primary_keys, compare_cols):
+def _joined(source, target, primary_keys, compare_cols, null_safe=False):
     src = source.select(
         *primary_keys,
         F.lit(True).alias("__src_present"),
@@ -120,7 +121,36 @@ def _joined(source, target, primary_keys, compare_cols):
         F.lit(True).alias("__tgt_present"),
         *[F.col(c).alias(f"__tgt_{c}") for c in compare_cols],
     )
-    return src.join(tgt, list(primary_keys), "full_outer")
+    if not null_safe:
+        return src.join(tgt, list(primary_keys), "full_outer")
+    # NULL-safe PK alignment: a NULL key matches a NULL key (pandas-merge
+    # semantics in the reference's in-memory combiner treat NaN keys as
+    # equal); <=> is plannable as a hash/SMJ equi-join, not a cartesian.
+    from functools import reduce
+
+    src_k = src.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in primary_keys],
+        *[c for c in src.columns if c not in primary_keys],
+    )
+    tgt_k = tgt.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in primary_keys],
+        *[c for c in tgt.columns if c not in primary_keys],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__sk_{k}").eqNullSafe(F.col(f"__tk_{k}"))
+            for k in primary_keys
+        ],
+    )
+    j = src_k.join(tgt_k, cond, "full_outer")
+    return j.select(
+        *[
+            F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k)
+            for k in primary_keys
+        ],
+        *[c for c in j.columns if not c.startswith(("__sk_", "__tk_"))],
+    )
 
 
 def row_violations(
@@ -129,17 +159,23 @@ def row_violations(
     primary_keys: list[str],
     hash_columns="*",
     case_insensitive: bool = False,
+    hash_algo: str = "sha256",
+    null_safe_pks: bool = False,
 ) -> DataFrame:
     """Scale path: only the violating rows come back.
 
     Output: (pks..., violation_type in {missing_in_target, missing_in_source,
     hash_mismatch}, source_hash, target_hash).
+
+    ``hash_algo='farm_fingerprint'`` swaps sha256 for xxhash64 (~10x cheaper
+    map-side, same join shape); ``null_safe_pks`` aligns NULL PKs with <=>.
     """
     src_prep, _ = _prepare(source, primary_keys, None, hash_columns, False,
-                           case_insensitive)
+                           case_insensitive, hash_algo)
     tgt_prep, _ = _prepare(target, primary_keys, None, hash_columns, False,
-                           case_insensitive)
-    j = _joined(src_prep, tgt_prep, primary_keys, ["hash__all"])
+                           case_insensitive, hash_algo)
+    j = _joined(src_prep, tgt_prep, primary_keys, ["hash__all"],
+                null_safe=null_safe_pks)
     src_p = F.col("__src_present").isNotNull()
     tgt_p = F.col("__tgt_present").isNotNull()
     vtype = (

@@ -125,6 +125,62 @@ def test_comparison_fields_mode(spark):
     assert rows[("b", '{"pk": "2"}')].validation_status == "success"
 
 
+def test_null_safe_pk_alignment(spark):
+    """NULL PKs: default join semantics report them missing on both sides
+    (SQL NULL != NULL); null_safe_pks=True aligns them like the reference's
+    pandas merge (NaN keys join)."""
+    src = spark.createDataFrame(
+        [(None, 1, "x"), ("a", 1, "y")], "conv_id string, turn_idx int, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(None, 1, "x"), ("a", 1, "y")], "conv_id string, turn_idx int, text string"
+    )
+    strict = row_violations(src, tgt, ["conv_id", "turn_idx"])
+    assert strict.count() == 2  # the NULL-key row is 'missing' on each side
+    safe = row_violations(
+        src, tgt, ["conv_id", "turn_idx"], null_safe_pks=True
+    )
+    assert safe.count() == 0
+    # a real mismatch is still caught under null-safe alignment
+    tgt2 = spark.createDataFrame(
+        [(None, 1, "CHANGED"), ("a", 1, "y")],
+        "conv_id string, turn_idx int, text string",
+    )
+    v = row_violations(
+        src, tgt2, ["conv_id", "turn_idx"], null_safe_pks=True
+    ).collect()
+    assert len(v) == 1 and v[0].violation_type == "hash_mismatch"
+    # null-safe equality plans as an equi-join, not a cartesian product
+    plan = (
+        row_violations(src, tgt, ["conv_id", "turn_idx"], null_safe_pks=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_farm_fingerprint_hash_algo(spark, transcripts):
+    """xxhash64 fast path finds the same violation set as sha256."""
+    tgt = spark.table("transcripts_target")
+    pks = ["conv_id", "turn_idx"]
+    cols = ["role", "text", "tool"]
+    sha = {
+        tuple(r)
+        for r in row_violations(transcripts, tgt, pks, hash_columns=cols)
+        .select(*pks, "violation_type")
+        .collect()
+    }
+    fast = {
+        tuple(r)
+        for r in row_violations(
+            transcripts, tgt, pks, hash_columns=cols,
+            hash_algo="farm_fingerprint",
+        )
+        .select(*pks, "violation_type")
+        .collect()
+    }
+    assert sha == fast and len(sha) > 0
+
+
 def test_uniqueness(spark, transcripts):
     clean = uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
     assert clean.count() == 0
