@@ -352,8 +352,9 @@ def build_row_hash(
 
     ``algo``: 'sha256' (reference default, cross-engine parity hash) or
     'farm_fingerprint' (reference's fast BigQuery path, mapped to xxhash64 —
-    non-cryptographic, ~10x cheaper per row; use when both sides run on this
-    engine and the hash never leaves the join).
+    non-cryptographic; measured 1.4x end-to-end on the full row-validation
+    job at 4M turns, the PK shuffle dominating the rest; use when both
+    sides run on this engine and the hash never leaves the join).
 
     Column order is the given ``columns`` order (the reference sorts its
     expansion by table column order; callers pass that order in).

@@ -167,8 +167,9 @@ def row_violations(
     Output: (pks..., violation_type in {missing_in_target, missing_in_source,
     hash_mismatch}, source_hash, target_hash).
 
-    ``hash_algo='farm_fingerprint'`` swaps sha256 for xxhash64 (~10x cheaper
-    map-side, same join shape); ``null_safe_pks`` aligns NULL PKs with <=>.
+    ``hash_algo='farm_fingerprint'`` swaps sha256 for xxhash64 (measured
+    1.4x end-to-end at 4M turns — the PK shuffle dominates; same join
+    shape); ``null_safe_pks`` aligns NULL PKs with <=>.
     """
     src_prep, _ = _prepare(source, primary_keys, None, hash_columns, False,
                            case_insensitive, hash_algo)
