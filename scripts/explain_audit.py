@@ -34,7 +34,9 @@ NOTES = {
     ),
     "row_hash_violations": (
         "sha256 row-hash computed map-side BEFORE the exchange; the shuffle "
-        "carries only (conv_id, turn_idx, 64-byte hash), never text. "
+        "carries only (conv_id, turn_idx, 32-byte BINARY hash — round-2: "
+        "unhex before the exchange, hex only on violations; measured 2.1x), "
+        "never text. "
         "Full-outer PK join (SMJ by default; SHJ viable via hint when the "
         "per-partition build side fits). Violations are a filter on the "
         "join output, so only failing rows survive. At 100 TB: bucketed or "
