@@ -413,6 +413,59 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# 8b. binned KS per group — the unbounded-scale drift path (no global
+#     window; cumsum partitions by group; exact for integer stats, bin=1)
+# ---------------------------------------------------------------------------
+
+def q_drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        ks_binned,
+    )
+
+    src = spark.table("transcripts").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    tgt = spark.table("transcripts_target").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = ks_binned(
+        src, tgt, F.length("text"), bin_width=5, group_cols=["day"]
+    )
+    return out.select(
+        "day",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        "n_source",
+        "n_target",
+    ).orderBy("day")
+
+
+_SQL_DRIFT_KS_BINNED = f"""{_CTES},
+u AS (
+  SELECT g, v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT strftime(ts, '%Y-%m-%d') AS g,
+           CAST(floor(length(text) / 5) * 5 AS BIGINT) AS v, 1 AS ns, 0 AS nt
+    FROM transcripts
+    UNION ALL
+    SELECT strftime(ts, '%Y-%m-%d'),
+           CAST(floor(length(text) / 5) * 5 AS BIGINT), 0, 1
+    FROM transcripts_target) z
+  GROUP BY g, v),
+c AS (SELECT g,
+   sum(n_s) OVER (PARTITION BY g ORDER BY v) AS cs,
+   sum(n_t) OVER (PARTITION BY g ORDER BY v) AS ct,
+   sum(n_s) OVER (PARTITION BY g) AS tot_s,
+   sum(n_t) OVER (PARTITION BY g) AS tot_t FROM u)
+SELECT g AS day,
+  CAST(round(max(abs(cs * 1.0 / tot_s - ct * 1.0 / tot_t)), 6) AS DOUBLE)
+    AS ks_stat,
+  CAST(max(tot_s) AS BIGINT) AS n_source,
+  CAST(max(tot_t) AS BIGINT) AS n_target
+FROM c GROUP BY g ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9. partition boundary planning (generate-table-partitions)
 # ---------------------------------------------------------------------------
 
@@ -753,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": q_referential,
         "drift_psi_role": q_drift_psi,
         "drift_ks_textlen": q_drift_ks,
+        "drift_ks_binned_by_day": q_drift_ks_binned,
         "partition_boundaries": q_partition_boundaries,
         "salted_agg_parity": q_salted_agg,
         "deterministic_sample": q_sample,
@@ -776,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_orphans": _SQL_REFERENTIAL,
         "drift_psi_role": _SQL_DRIFT_PSI,
         "drift_ks_textlen": _SQL_DRIFT_KS,
+        "drift_ks_binned_by_day": _SQL_DRIFT_KS_BINNED,
         "partition_boundaries": _SQL_PARTITION_BOUNDARIES,
         "salted_agg_parity": _SQL_SALTED_AGG,
         "deterministic_sample": _SQL_SAMPLE,
