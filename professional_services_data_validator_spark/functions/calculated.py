@@ -202,7 +202,9 @@ def to_char_date_pattern(fmt: str) -> str:
     return "".join(out)
 
 
-def to_char_number(col: Column, fmt: str) -> Column:
+def to_char_number(
+    col: Column, fmt: str, exact_decimal: bool = False
+) -> Column:
     """Oracle/Postgres TO_CHAR number semantics for [FM]{9|0}+[.{9|0}*].
 
     - fraction is rounded HALF_UP to the model's scale (Oracle rounds ties
@@ -214,6 +216,12 @@ def to_char_number(col: Column, fmt: str) -> Column:
     - a value whose integer part overflows the model renders as '#' fill
       (width + 1), matching Oracle's overflow marker.
     NULL in -> NULL out.
+
+    ``exact_decimal`` (VERDICT r2 #7): decimal/integer inputs format from
+    the exact value via a decimal(38, scale) cast (Spark decimal casts round
+    HALF_UP) instead of going through double, which silently loses digits
+    above 2^53 (Oracle formats the exact decimal). A value whose integer
+    part cannot fit decimal(38, scale) renders as the overflow marker.
     """
     m = _NUM_FMT_RE.match(fmt)
     if not m:
@@ -229,9 +237,18 @@ def to_char_number(col: Column, fmt: str) -> Column:
     last_frac_zero = frac_fmt.rfind("0")
     min_frac = last_frac_zero + 1 if last_frac_zero >= 0 else 0
 
-    v = col.cast("double")
+    cast_overflow = F.lit(False)
+    if exact_decimal:
+        v = col  # exact comparisons/sign on the native decimal/integer
+        dec = col.cast(f"decimal(38,{frac_len})")  # HALF_UP at model scale
+        cast_overflow = dec.isNull() & col.isNotNull()
+        # decimal -> string keeps the full scale ('1.500'), like %.3f
+        base = F.abs(dec).cast("string")
+    else:
+        v = col.cast("double")
+        # HALF_UP, min-int "0"
+        base = F.format_string(f"%.{frac_len}f", F.abs(v))
     sign = F.when(v < 0, F.lit("-")).otherwise(F.lit(""))
-    base = F.format_string(f"%.{frac_len}f", F.abs(v))  # HALF_UP, min-int "0"
     ip = F.substring_index(base, ".", 1) if frac_len else base
     fp = F.substring_index(base, ".", -1) if frac_len else F.lit("")
 
@@ -262,17 +279,19 @@ def to_char_number(col: Column, fmt: str) -> Column:
             F.length(body) < width, F.lpad(body, width, " ")
         ).otherwise(body)
     overflow = F.lit("#" * width)
-    too_wide = F.length(ip_sig) > len(int_fmt)
+    too_wide = (F.length(ip_sig) > len(int_fmt)) | cast_overflow
     out = F.when(v.isNull(), F.lit(None).cast("string")).when(
         too_wide, overflow
     ).otherwise(body)
     return out
 
 
-def to_char(col: Column, fmt: str, is_temporal: bool) -> Column:
+def to_char(
+    col: Column, fmt: str, is_temporal: bool, exact_decimal: bool = False
+) -> Column:
     if is_temporal:
         return F.date_format(col, to_char_date_pattern(fmt))
-    return to_char_number(col, fmt)
+    return to_char_number(col, fmt, exact_decimal=exact_decimal)
 
 
 def _cast(col: Column, target_type: str) -> Column:
@@ -311,7 +330,11 @@ def eval_calc_field(spec: CalculatedFieldSpec, df: DataFrame) -> Column:
         src = spec.source_columns[0]
         dtype = dict(df.dtypes).get(src, "")
         is_temporal = dtype.startswith(("date", "timestamp"))
-        return to_char(cols[0], fmt, is_temporal)
+        # decimal + integral inputs format exactly (no double round-trip:
+        # digits above 2^53 would silently corrupt, VERDICT r2 #7)
+        exact = dtype.startswith(("decimal", "bigint", "int", "smallint",
+                                  "tinyint"))
+        return to_char(cols[0], fmt, is_temporal, exact_decimal=exact)
     fn = CALC_REGISTRY.get(spec.calc_type)
     if fn is None:
         raise ValueError(f"unknown calculated field type {spec.calc_type!r}")

@@ -91,21 +91,56 @@ def partition_boundaries(
 
 
 def _sql_lit(v) -> str:
+    """Typed SQL literal rendering (ADVICE r2: str(date) produced unquoted
+    '2026-03-01', which Spark parses as integer arithmetic). Unknown types
+    fall back to a QUOTED string, never bare text."""
+    import datetime
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "TRUE" if v else "FALSE"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
-    return str(v)
+    if isinstance(v, datetime.datetime):  # before date: datetime subclasses it
+        return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+    if isinstance(v, datetime.date):
+        return "DATE '" + v.isoformat() + "'"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _cmp_sql(key: str, v, op: str) -> str:
+    """One comparison term with the NULLS FIRST total order the boundary
+    computation uses (``orderBy`` ascending sorts NULL keys first): NULL is
+    below every value, and NULL-key rows must not be silently dropped by
+    SQL's NULL-propagating comparisons (ADVICE r2 '(k >= NULL)' bug)."""
+    lit = _sql_lit(v)
+    if v is None:
+        return {
+            "=": f"{key} IS NULL",
+            ">": f"{key} IS NOT NULL",
+            ">=": "1 = 1",  # everything is >= NULL under NULLS FIRST
+            "<": "1 = 0",  # nothing is < NULL
+        }[op]
+    if op == "<":  # NULL keys sort below any value -> they are < v
+        return f"({key} IS NULL OR {key} < {lit})"
+    return f"{key} {op} {lit}"  # =, >, >= correctly exclude NULL keys
 
 
 def _lex_bound_sql(keys: list[str], bound: tuple, op: str) -> str:
-    """Lexicographic tuple comparison rendered as ANSI SQL, e.g. for
-    op='>=': (k1 > v1) OR (k1 = v1 AND k2 >= v2)."""
+    """Lexicographic tuple comparison rendered as Spark SQL, e.g. for
+    op='>=': (k1 > v1) OR (k1 = v1 AND k2 >= v2), with typed literals and
+    NULL bounds handled per the NULLS FIRST key order."""
     terms = []
     for i in range(len(keys)):
-        eqs = [f"{keys[j]} = {_sql_lit(bound[j])}" for j in range(i)]
+        eqs = [_cmp_sql(keys[j], bound[j], "=") for j in range(i)]
         last_op = op if i == len(keys) - 1 else (">" if op == ">=" else "<")
-        eqs.append(f"{keys[i]} {last_op} {_sql_lit(bound[i])}")
+        eqs.append(_cmp_sql(keys[i], bound[i], last_op))
         terms.append("(" + " AND ".join(eqs) + ")")
     return "(" + " OR ".join(terms) + ")"
 
@@ -128,24 +163,57 @@ def partition_where_clauses(
     return out
 
 
+def _partition_identity(idx: int, where_clause: str) -> str:
+    """Value-derived partition id: a hash of (ordinal, predicate text). The
+    predicate fully determines the partition's row set given the keys, so
+    the id is stable across runs over unchanged data — and if the table DID
+    change between a failed run and --resume, the recomputed boundaries
+    yield different clauses, hence different ids, and every affected
+    partition re-runs instead of lineage 'success' rows silently skipping
+    rows that were never validated (ADVICE r2 on ordinal ids)."""
+    import hashlib
+
+    return hashlib.sha256(f"{idx}|{where_clause}".encode()).hexdigest()[:12]
+
+
 def partition_manifest(
     df: DataFrame, keys: list[str], n_partitions: int
 ) -> DataFrame:
-    """Manifest table (partition_id, <key>_lower..., where_clause): the
-    resumable unit of work. partition_id is stable across runs (derived from
-    boundary values, not physical layout), so lineage skip-lists survive
-    restarts."""
+    """Manifest table (partition_id, partition_idx, <key>_lower...,
+    where_clause): the resumable unit of work. partition_id is derived from
+    the boundary predicate itself (not the ordinal alone), so lineage
+    skip-lists stay valid across restarts exactly when the key ranges are
+    unchanged."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
     rows = partition_boundaries(df, keys, n_partitions).collect()
     clauses = partition_where_clauses(rows, keys)
     data = []
     for r, clause in zip(rows, clauses):
-        rec = {"partition_id": str(r["partition_idx"]),
-               "where_clause": clause}
+        rec = {
+            "partition_id": _partition_identity(int(r["partition_idx"]), clause),
+            "partition_idx": int(r["partition_idx"]),
+            "where_clause": clause,
+        }
         for k in keys:
             rec[f"{k}_lower"] = r[k]
         data.append(rec)
-    spark = df.sparkSession
-    return spark.createDataFrame(data)
+    key_types = {f.name: f.dataType for f in df.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("partition_id", T.StringType()),
+            T.StructField("partition_idx", T.IntegerType()),
+            T.StructField("where_clause", T.StringType()),
+        ]
+        + [
+            T.StructField(f"{k}_lower", key_types.get(k, T.StringType()))
+            for k in keys
+        ]
+    )
+    # explicit schema: createDataFrame([]) cannot infer one on an empty
+    # source (ADVICE r2), and typed *_lower columns survive the round-trip
+    return spark.createDataFrame(data, schema)
 
 
 def pending_where(manifest_pending: DataFrame) -> str:
@@ -157,17 +225,22 @@ def pending_where(manifest_pending: DataFrame) -> str:
     return " OR ".join(f"({c})" for c in clauses)
 
 
-def assign_partition_id(keys: list[str], boundary_rows: list) -> Column:
+def assign_partition_id(
+    keys: list[str], boundary_rows: list, partition_ids: list[str] | None = None
+) -> Column:
     """partition_id column expression from collected boundaries: a CASE
     chain of lexicographic comparisons (n_partitions branches, all
-    JVM-side) for per-partition verdict grouping."""
+    JVM-side) for per-partition verdict grouping. ``partition_ids`` (e.g.
+    the manifest's value-derived ids) aligns emitted ids with the manifest;
+    default is the ordinal string."""
     bounds = [tuple(r[k] for k in keys) for r in boundary_rows]
+    ids = partition_ids or [str(i) for i in range(len(bounds))]
     # fold bottom-up: rows >= bounds[i] get id i, everything else falls
     # through to partition 0
-    out = F.lit("0")
+    out = F.lit(ids[0] if ids else "0")
     for i in range(1, len(bounds)):
         out = F.when(
-            F.expr(_lex_bound_sql(keys, bounds[i], ">=")), F.lit(str(i))
+            F.expr(_lex_bound_sql(keys, bounds[i], ">=")), F.lit(ids[i])
         ).otherwise(out)
     return out
 

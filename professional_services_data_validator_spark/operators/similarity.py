@@ -272,6 +272,15 @@ def _assign_scores(vec_col: Column, centers: list[list[float]]) -> Column:
     return F.array(*[_center_score(vec_col, c) for c in centers])
 
 
+#: decimal places centroid coordinates are rounded to after every update.
+#: Spark's distributed ``avg`` sums partials in nondeterministic order, so
+#: unrounded centroids wobble in the last ulp run-to-run; rounding pins the
+#: trained matrix so it is reproducible (and replayable by
+#: ``kmeans_centroids_local`` for the DuckDB oracle). 9 dp is far below any
+#: quantizer-quality threshold and far above double-sum noise (~1e-16).
+KMEANS_ROUND_DP = 9
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_clusters: int = 10,
@@ -289,35 +298,122 @@ def kmeans_centroids(
     (cluster, pos, val). Only the k x d centroid matrix is ever collected.
     Replaces the round-1 per-label means (a *pre-trained* stand-in) with an
     actually trained coarse quantizer.
+
+    The projected (id, vec) corpus is persisted across the ``iters + 1``
+    passes (seed draw + one scan per Lloyd iteration) — without it every
+    iteration re-reads and re-decodes the source. Centroid coordinates are
+    rounded to ``KMEANS_ROUND_DP`` after every update, which makes the
+    trained matrix deterministic and bit-replayable by
+    ``kmeans_centroids_local`` (the oracle path).
     """
-    seed_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("__h")
-        .limit(n_clusters)
-        .collect()
-    )
-    centers = [[float(x) for x in r[vec_col]] for r in seed_rows]
-    for _ in range(iters):
-        scores = _assign_scores(F.col(vec_col), centers)
-        assigned = corpus.select(
-            F.col(vec_col).alias("v"),
-            (F.array_position(scores, F.array_max(scores)) - 1).alias("c"),
-        )
-        means = (
-            assigned.select("c", F.posexplode("v").alias("pos", "val"))
-            .groupBy("c", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+    proj = corpus.select(id_col, vec_col).persist()
+    try:
+        seed_rows = (
+            proj.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__h")
+            .limit(n_clusters)
             .collect()
         )
-        by_c: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_c.setdefault(int(r["c"]), {})[int(r["pos"])] = float(r["m"])
+        centers = [
+            [round(float(x), KMEANS_ROUND_DP) for x in r[vec_col]]
+            for r in seed_rows
+        ]
+        for _ in range(iters):
+            scores = _assign_scores(F.col(vec_col), centers)
+            assigned = proj.select(
+                F.col(vec_col).alias("v"),
+                (F.array_position(scores, F.array_max(scores)) - 1).alias("c"),
+            )
+            means = (
+                assigned.select("c", F.posexplode("v").alias("pos", "val"))
+                .groupBy("c", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect()
+            )
+            by_c: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_c.setdefault(int(r["c"]), {})[int(r["pos"])] = round(
+                    float(r["m"]), KMEANS_ROUND_DP
+                )
+            new_centers = []
+            for i, old in enumerate(centers):
+                if i in by_c:  # empty clusters keep their previous center
+                    d = by_c[i]
+                    new_centers.append([d[p] for p in sorted(d)])
+                else:
+                    new_centers.append(old)
+            centers = new_centers
+        return centers
+    finally:
+        proj.unpersist()
+
+
+def _cosine_fold_local(vec: list[float], center: list[float],
+                       norm_c: float) -> float:
+    """Driver-side cosine that reproduces the Spark expression bit-for-bit:
+    left-to-right double folds (``F.aggregate`` order) for both the dot
+    product and the vector norm, and the same (norm_v * norm_c) grouping as
+    ``_center_score``."""
+    import math
+
+    dot = 0.0
+    for a, b in zip(vec, center):
+        dot += a * b
+    nv = 0.0
+    for a in vec:
+        nv += a * a
+    return dot / (math.sqrt(nv) * norm_c)
+
+
+def kmeans_centroids_local(
+    rows: list[tuple], n_clusters: int = 10, iters: int = 3
+) -> list[list[float]]:
+    """Pure-Python replay of ``kmeans_centroids`` over in-memory (id, vec)
+    rows — the independent implementation behind the DuckDB oracle for
+    ``embedding_kmeans_ann`` (same literal-inlining trick as the SRP planes).
+
+    Mirrors the Spark path exactly: md5-seeded init, first-argmax cosine
+    assignment (``array_position`` returns the FIRST max, as does
+    ``list.index``), per-cluster means, empty clusters keeping their previous
+    center, and ``KMEANS_ROUND_DP`` rounding after every update. The
+    assignment scores are bit-identical (same fold order); the means differ
+    from Spark's distributed avg only at ~1e-16, which the rounding absorbs.
+    Parity with the Spark trainer is asserted in tests/test_training_ops.py.
+    """
+    import hashlib
+    import math
+
+    by_hash = sorted(
+        rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest()
+    )
+    centers = [
+        [round(float(x), KMEANS_ROUND_DP) for x in r[1]]
+        for r in by_hash[:n_clusters]
+    ]
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    for _ in range(iters):
+        norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centers]
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for v in vecs:
+            scores = [
+                _cosine_fold_local(v, c, nc) for c, nc in zip(centers, norms)
+            ]
+            best = scores.index(max(scores))
+            if best not in sums:
+                sums[best] = [0.0] * len(v)
+                counts[best] = 0
+            acc = sums[best]
+            for i, x in enumerate(v):
+                acc[i] += x
+            counts[best] += 1
         new_centers = []
         for i, old in enumerate(centers):
-            if i in by_c:  # empty clusters keep their previous center
-                d = by_c[i]
-                new_centers.append([d[p] for p in sorted(d)])
+            if i in sums:
+                n = counts[i]
+                new_centers.append(
+                    [round(s / n, KMEANS_ROUND_DP) for s in sums[i]]
+                )
             else:
                 new_centers.append(old)
         centers = new_centers

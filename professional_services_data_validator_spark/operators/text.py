@@ -65,6 +65,12 @@ def quality_score(
     Features: token count, mean word length, punctuation ratio, stopword
     ratio, uppercase ratio. Score: product of squashed feature terms —
     deterministic arithmetic, rounded 6dp.
+
+    Stopword counting is ONE tokenize + array filter (round-3 rewrite,
+    VERDICT r2 #8: the previous form ran one regexp_replace pass per
+    stopword — ~5 regex scans of every row; this is a single split and a
+    single membership filter, and token semantics also count adjacent
+    stopwords the regex's non-overlapping matches missed).
     """
     text = F.col(text_col)
     n_chars = F.length(text).cast("double")
@@ -75,18 +81,11 @@ def quality_score(
     n_upper = (
         n_chars - F.length(F.regexp_replace(text, "[A-Z]", ""))
     ).cast("double")
-    # stopword hits: count occurrences of ' the ', ' a ', ... in padded text
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    stop_hits = sum(
-        (
-            (
-                F.length(padded)
-                - F.length(F.regexp_replace(padded, f" {w} ", " "))
-            )
-            / F.lit(len(w) + 1)
-        ).cast("double")
-        for w in LANG_PROFILES["en"]
-    )
+    toks = F.split(F.trim(text), " +")
+    stop_words = LANG_PROFILES["en"]
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*stop_words))
+    ).cast("double")
     mean_word_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
@@ -212,22 +211,21 @@ def language_id(
     """Stopword-profile language ID: argmax over per-language hit counts.
 
     Emits (id, pred_lang, best_hits). Ties resolved by language code order
-    (deterministic). The hit count for language L = number of L-stopword
-    occurrences as whole tokens.
+    (deterministic). The hit count for language L = number of tokens that
+    are L-stopwords — ONE tokenize feeding one membership filter per
+    language (round-3 rewrite, VERDICT r2 #8: previously ~25 regexp passes
+    per row, one per stopword per language).
     """
-    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    toks = F.split(F.trim(F.col(text_col)), " +")
+
+    def _member(words):
+        # NOTE: a default-arg closure (lambda t, w=words: ...) would give the
+        # lambda TWO parameters, which F.filter reads as (element, index)
+        return lambda t: t.isin(*words)
+
     scores = []
     for lang, words in sorted(LANG_PROFILES.items()):
-        hits = sum(
-            (
-                (
-                    F.length(padded)
-                    - F.length(F.regexp_replace(padded, f" {w} ", " "))
-                )
-                / F.lit(len(w) + 1)
-            ).cast("long")
-            for w in words
-        )
+        hits = F.size(F.filter(toks, _member(words))).cast("long")
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return df.select(

@@ -26,6 +26,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 from professional_services_data_validator_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+# data-dependent oracles (kmeans centroid literals) follow this var
+os.environ["SPARK_GRAFT_TEST_SF_DIR"] = SF_DIR
 
 
 def _cell(v):

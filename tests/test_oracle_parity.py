@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# data-dependent oracles (embedding_kmeans_ann inlines centroids trained on
+# the compared dataset) must be generated for THIS sf dir, not the driver's
+# sf0.01 default
+os.environ["SPARK_GRAFT_TEST_SF_DIR"] = SF_DIR
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()

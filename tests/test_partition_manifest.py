@@ -100,8 +100,17 @@ def test_resume_skips_passed_partitions(spark, transcripts, tmp_path):
     manifest = partition_manifest(transcripts, keys, 4)
     cfg_hash, stage = "cfgX", "Row"
 
+    ids = {
+        r["partition_idx"]: r["partition_id"] for r in manifest.collect()
+    }
+    # ids are value-derived (hash of the boundary predicate), not ordinals:
+    # a changed table changes the clause, hence the id, hence forces a re-run
+    assert all(len(v) == 12 and not v.isdigit() for v in ids.values())
+
     # simulate a run that died after validating partitions 0 and 1
-    first_two = manifest.filter(F.col("partition_id").isin("0", "1")).select(
+    first_two = manifest.filter(
+        F.col("partition_idx").isin(0, 1)
+    ).select(
         "partition_id",
         F.lit("{}").alias("metrics"),
         F.lit("success").alias("validation_status"),
@@ -120,16 +129,16 @@ def test_resume_skips_passed_partitions(spark, transcripts, tmp_path):
         )
 
     resumable_run(store, manifest, cfg_hash, "run2", stage, run_fn)
-    assert seen["pending"] == ["2", "3"]
+    assert seen["pending"] == sorted([ids[2], ids[3]])
     # all four now pass; nothing pending on a third attempt
     assert store.pending_partitions(manifest, cfg_hash, stage).count() == 0
 
     # the resume predicate restricts the scan to the pending PK ranges only
-    pending_before = manifest.filter(F.col("partition_id").isin("2", "3"))
+    pending_before = manifest.filter(F.col("partition_idx").isin(2, 3))
     wc = pending_where(pending_before)
     n_pending_rows = transcripts.filter(F.expr(wc)).count()
     rows = sorted(
-        manifest.collect(), key=lambda r: int(r["partition_id"])
+        manifest.collect(), key=lambda r: int(r["partition_idx"])
     )
     clause_rows = partition_where_clauses(
         [{k: r[f"{k}_lower"] for k in keys} for r in rows], keys
@@ -140,6 +149,54 @@ def test_resume_skips_passed_partitions(spark, transcripts, tmp_path):
     assert n_pending_rows == expected
     # fully-passed manifest -> constant-false predicate (scan prunes to 0)
     assert pending_where(manifest.limit(0)) == "1 = 0"
+
+
+def test_manifest_date_and_timestamp_keys(spark, transcripts):
+    """ADVICE r2: date/timestamp partition keys must render as typed SQL
+    literals (DATE '...' / TIMESTAMP '...'), not bare text that Spark
+    parses as integer arithmetic."""
+    by_day = transcripts.withColumn("day", F.col("ts").cast("date"))
+    for key in ("day", "ts"):
+        man = partition_manifest(by_day, [key, "event_id"], 3)
+        rows = man.collect()
+        assert len(rows) == 3
+        lit = "DATE '" if key == "day" else "TIMESTAMP '"
+        assert any(lit in r["where_clause"] for r in rows)
+        counts = [
+            by_day.filter(F.expr(r["where_clause"])).count() for r in rows
+        ]
+        assert sum(counts) == by_day.count()  # disjoint + exhaustive
+
+
+def test_manifest_null_keys_not_dropped(spark):
+    """ADVICE r2: NULL key values must stay assigned to some partition —
+    comparisons like (k >= NULL) match nothing and silently drop rows."""
+    rows = [(None, i) for i in range(10)] + [
+        (f"c{i:02d}", i) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    man = partition_manifest(df, ["conv_id", "turn_idx"], 4)
+    clauses = [r["where_clause"] for r in man.collect()]
+    counts = [df.filter(F.expr(c)).count() for c in clauses]
+    assert sum(counts) == 50  # NULL-key rows all covered, no double-count
+    # and assign_partition_id agrees with the clauses on the NULL rows
+    bounds = partition_boundaries(df, ["conv_id", "turn_idx"], 4).collect()
+    assigned = df.withColumn(
+        "pid", assign_partition_id(["conv_id", "turn_idx"], bounds)
+    )
+    assert assigned.filter(F.col("pid").isNull()).count() == 0
+
+
+def test_manifest_empty_source(spark):
+    """ADVICE r2: an empty source must produce an empty (typed) manifest,
+    not a schema-inference crash."""
+    df = spark.createDataFrame([], "conv_id string, turn_idx int, ts timestamp")
+    man = partition_manifest(df, ["conv_id", "turn_idx"], 4)
+    assert man.count() == 0
+    assert set(man.columns) >= {
+        "partition_id", "partition_idx", "where_clause",
+        "conv_id_lower", "turn_idx_lower",
+    }
 
 
 def test_write_report_row_scale_path(spark, transcripts, tmp_path):

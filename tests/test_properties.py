@@ -21,11 +21,14 @@ from professional_services_data_validator_spark.operators.partitioning import (
 
 # --- independent to_char model (decimal module, not the Spark expression) ---
 
-def _py_to_char(v: float, int_fmt: str, frac_fmt: str, fm: bool) -> str:
+def _py_to_char(v, int_fmt: str, frac_fmt: str, fm: bool) -> str:
     if v is None:
         return None
     q = decimal.Decimal(1).scaleb(-len(frac_fmt)) if frac_fmt else decimal.Decimal(1)
-    d = decimal.Decimal(repr(v)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    dv = decimal.Decimal(repr(v)) if isinstance(v, float) else decimal.Decimal(v)
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60  # quantize of 38-digit values needs headroom
+        d = dv.quantize(q, rounding=decimal.ROUND_HALF_UP)
     sign = "-" if d < 0 else ("" if fm else " ")
     d = abs(d)
     txt = f"{d:f}"
@@ -78,6 +81,38 @@ def test_to_char_matches_decimal_model(spark, vals, int_fmt, frac_fmt, fm):
     ]
     want = [_py_to_char(v, int_fmt, frac_fmt, fm) for v in vals]
     assert got == want, f"fmt={fmt}"
+
+
+# --- exact decimal path: values far above 2^53 (VERDICT r2 #7) ------------
+
+_BIG_INT = st.integers(min_value=-(10 ** 30), max_value=10 ** 30)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ints=st.lists(_BIG_INT, min_size=1, max_size=30),
+    scale=st.sampled_from([0, 2, 4]),
+    fm=st.booleans(),
+)
+def test_to_char_exact_decimal_above_2_53(spark, ints, scale, fm):
+    """decimal(38,s) inputs format from the exact value: the double path
+    would corrupt digits above 2^53 (repr-level divergence), the exact path
+    must match the Python decimal model digit-for-digit. scale=4 also
+    exercises HALF_UP rounding down to the model's 3-digit fraction."""
+    vals = [decimal.Decimal(i).scaleb(-scale) for i in ints]
+    int_fmt, frac_fmt = "9" * 33, "099"
+    fmt = ("FM" if fm else "") + int_fmt + "." + frac_fmt
+    df = spark.createDataFrame([(v,) for v in vals], f"v decimal(38,{scale})")
+    got = [
+        r.s
+        for r in df.coalesce(1)
+        .select(
+            to_char_number(F.col("v"), fmt, exact_decimal=True).alias("s")
+        )
+        .collect()
+    ]
+    want = [_py_to_char(v, int_fmt, frac_fmt, fm) for v in vals]
+    assert got == want, f"fmt={fmt} scale={scale}"
 
 
 # --- partition clause properties: disjoint + exhaustive for any key set ----
