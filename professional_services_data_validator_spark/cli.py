@@ -23,6 +23,16 @@ Three entry styles (all through ``main``):
     # 3. ad-hoc SQL against registered tables (cli_tools.py:364-371):
     psdv-spark query --sql 'SELECT count(*) FROM t' --table t=/path/parquet
 
+    # 4. partition a row validation into runnable YAML units
+    #    (cli_tools.py:240-320 + partition_builder.py):
+    psdv-spark generate-table-partitions --primary-keys conv_id,turn_idx \
+        --partition-num 16 --parts-per-file 4 --config-dir parts/ ...
+    psdv-spark configs list --config-dir parts/
+    psdv-spark configs run --config-file parts/0000.yaml ...
+
+    # 5. pair up source/target tables by name similarity (:343-360):
+    psdv-spark find-tables --table orders=/a --table orders_v2=/b
+
 Cluster usage:
     ./package.sh                         # builds dist/psdv_spark.zip
     spark-submit --py-files dist/psdv_spark.zip \
@@ -101,6 +111,12 @@ def _add_job_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--filter-status", choices=["success", "fail"], help="report filter"
     )
+    p.add_argument(
+        "--format",
+        choices=["table", "text", "csv", "json"],
+        default="table",
+        help="stdout report format (reference cli_tools.py --format)",
+    )
 
 
 def _add_validate_flags(p: argparse.ArgumentParser, vtype: str) -> None:
@@ -114,6 +130,18 @@ def _add_validate_flags(p: argparse.ArgumentParser, vtype: str) -> None:
     )
     p.add_argument("--threshold", type=float, default=0.0)
     p.add_argument("--labels", default=None, help="key=value,key=value")
+    p.add_argument(
+        "--config-file",
+        default=None,
+        help="store the validation config as YAML at this path instead of "
+        "running it (reference cli_tools.py:970-974)",
+    )
+    p.add_argument(
+        "--config-file-json",
+        default=None,
+        help="store the validation config as JSON instead of running it "
+        "(reference cli_tools.py:975-978)",
+    )
     if vtype in ("column", "custom-query"):
         for agg in ("count", "sum", "min", "max", "avg", "std", "bit-xor"):
             p.add_argument(
@@ -200,6 +228,62 @@ def build_parser() -> argparse.ArgumentParser:
         help="name=parquet_path registration (repeatable)",
     )
     q.add_argument("--max-rows", type=int, default=100)
+
+    # configs list|get|run (reference cli_tools.py:374-420 + __main__:639-651)
+    cfgs = sub.add_parser(
+        "configs", help="list / inspect / run stored validation YAML configs"
+    )
+    csub = cfgs.add_subparsers(dest="configs_cmd", required=True)
+    clist = csub.add_parser("list", help="list validation configs in a dir")
+    clist.add_argument("--config-dir", default=".")
+    cget = csub.add_parser("get", help="print a validation config")
+    cget.add_argument("--config-file", required=True)
+    crun = csub.add_parser(
+        "run", help="run every validation block in a YAML config"
+    )
+    crun.add_argument("--config-file", required=True)
+    _add_job_args(crun)
+
+    # generate-table-partitions (reference cli_tools.py:240-320 +
+    # partition_builder.py): emit NNNN.yaml row-validation configs whose
+    # filters are contiguous PK ranges; `configs run` executes them.
+    gtp = sub.add_parser(
+        "generate-table-partitions",
+        help="split a row validation into N PK-range partition configs",
+    )
+    gtp.add_argument("--primary-keys", required=True)
+    gtp.add_argument("--partition-num", type=int, required=True)
+    gtp.add_argument("--config-dir", required=True)
+    gtp.add_argument(
+        "--parts-per-file",
+        type=int,
+        default=1,
+        help="validation blocks per emitted YAML (reference -ppf)",
+    )
+    gtp.add_argument("--hash", default="*")
+    gtp.add_argument("--comparison-fields", default=None)
+    gtp.add_argument("--filters", default=None)
+    gtp.add_argument("--threshold", type=float, default=0.0)
+    gtp.add_argument("--labels", default=None)
+    gtp.add_argument("--trim-string-pks", action="store_true")
+    gtp.add_argument("--case-insensitive-match", action="store_true")
+    gtp.add_argument("--source-path")
+    gtp.add_argument("--target-path")
+    gtp.add_argument("--source-table")
+    gtp.add_argument("--target-table")
+
+    # find-tables (reference cli_tools.py:343-360): fuzzy-match table names
+    ft = sub.add_parser(
+        "find-tables", help="pair source/target tables by Jaro similarity"
+    )
+    ft.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        help="name=parquet_path registration (repeatable); omit to use "
+        "the session catalog",
+    )
+    ft.add_argument("--score-cutoff", type=float, default=0.8)
     return top
 
 
@@ -367,6 +451,193 @@ def _run_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _dump_config(cfg_dict: dict, args: argparse.Namespace) -> None:
+    """validate --config-file / --config-file-json store mode (reference
+    cli_tools.py:970-978 + __main__.store_yaml_config_file): persist the
+    built config instead of running it. Source/target paths are embedded so
+    `configs run` can execute the file standalone; '*' aggregates stay
+    deferred as written flags unless a source is loadable now."""
+    d = dict(cfg_dict)
+    for k in ("source_path", "target_path", "source_table", "target_table"):
+        v = getattr(args, k, None)
+        if v and k not in d:
+            d[k] = v
+    # keep the stored file declarative: rename the deferred star-aggregates
+    star = d.pop("_star_aggregates", None)
+    if star:
+        d["star_aggregates"] = star
+    d.pop("_cast_to_bigint", None)
+    if getattr(args, "cast_to_bigint", False):
+        d["cast_to_bigint"] = True
+    if args.config_file:
+        import yaml
+
+        with open(args.config_file, "w") as f:
+            yaml.safe_dump(d, f, sort_keys=False)
+    if args.config_file_json:
+        with open(args.config_file_json, "w") as f:
+            json.dump(d, f, indent=2, default=str)
+
+
+def _iter_validation_blocks(cfg: dict):
+    """A config file is either one validation dict or a
+    ``validations: [...]`` list (the reference partition_builder format,
+    partition_builder.py:76-82); top-level source/target locations apply to
+    every block."""
+    top_io = {
+        k: cfg[k]
+        for k in (
+            "source_path", "target_path", "source_table", "target_table"
+        )
+        if cfg.get(k)
+    }
+    blocks = cfg.get("validations") or [cfg]
+    for b in blocks:
+        d = dict(b)
+        for k, v in top_io.items():
+            d.setdefault(k, v)
+        yield d
+
+
+def _run_config_blocks(args: argparse.Namespace, cfg: dict) -> int:
+    """Run every validation block in a (possibly multi-block) config file;
+    exit code is the OR of per-block failures (reference configs run)."""
+    rc = 0
+    for block in _iter_validation_blocks(cfg):
+        b_args = argparse.Namespace(**vars(args))
+        for k in ("source_path", "target_path", "source_table",
+                  "target_table"):
+            v = block.pop(k, None)
+            if v and not getattr(b_args, k, None):
+                setattr(b_args, k, v)
+        if block.pop("cast_to_bigint", False):
+            block["_cast_to_bigint"] = True
+        star = block.pop("star_aggregates", None)
+        if star:
+            block["_star_aggregates"] = star
+        rc |= _execute_job(b_args, block)
+    return rc
+
+
+def _run_configs_cmd(args: argparse.Namespace) -> int:
+    """configs list|get|run (reference cli_tools.py:374-420)."""
+    import os
+
+    if args.configs_cmd == "list":
+        names = sorted(
+            n for n in os.listdir(args.config_dir)
+            if n.endswith((".yaml", ".yml", ".json"))
+        )
+        for n in names:
+            print(n)
+        return 0
+    if args.configs_cmd == "get":
+        with open(args.config_file) as f:
+            print(f.read())
+        return 0
+    return _run_config_blocks(args, load_config(args.config_file))
+
+
+def _run_generate_partitions(args: argparse.Namespace) -> int:
+    """generate-table-partitions (reference partition_builder.py): build the
+    PK-range manifest distributed (row_number boundary windows — no
+    driver-side scan), then emit ceil(n/ppf) YAML files named 0000.yaml...
+    each holding `parts-per-file` row-validation blocks whose filters are the
+    manifest's pushdown-able range predicates."""
+    import os
+
+    import yaml
+
+    from .operators.partitioning import partition_manifest
+    from .session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("psdv-gtp")
+    try:
+        source = _load_side(spark, args.source_path, args.source_table)
+        pkeys = _split_cols(args.primary_keys)
+        manifest = partition_manifest(source, pkeys, args.partition_num)
+        clauses = [
+            r["where_clause"]
+            for r in sorted(
+                manifest.collect(), key=lambda r: int(r["partition_idx"])
+            )
+        ]
+    finally:
+        if not preexisting:
+            spark.stop()
+
+    base: dict = {
+        "type": "Row",
+        "primary_keys": pkeys,
+        "threshold": args.threshold,
+        "trim_string_pks": bool(args.trim_string_pks),
+        "case_insensitive_match": bool(args.case_insensitive_match),
+    }
+    cf = _split_cols(args.comparison_fields)
+    if cf:
+        base["comparison_fields"] = [{"column": c} for c in cf]
+    else:
+        base["hash_columns"] = (
+            "*" if args.hash == "*" else _split_cols(args.hash)
+        )
+    if args.labels:
+        base["labels"] = [
+            list(kv.split("=", 1)) for kv in args.labels.split(",")
+        ]
+    user_filters = _parse_filters(args.filters)
+
+    top_io = {
+        k: getattr(args, k)
+        for k in ("source_path", "target_path", "source_table",
+                  "target_table")
+        if getattr(args, k, None)
+    }
+    os.makedirs(args.config_dir, exist_ok=True)
+    ppf = max(1, args.parts_per_file)
+    n_files = 0
+    for i in range(0, len(clauses), ppf):
+        blocks = []
+        for wc in clauses[i:i + ppf]:
+            b = dict(base)
+            b["filters"] = list(user_filters) + [
+                {"ftype": "custom", "source": wc, "target": wc}
+            ]
+            blocks.append(b)
+        out = dict(top_io)
+        out["validations"] = blocks
+        fname = os.path.join(args.config_dir, f"{i // ppf:04d}.yaml")
+        with open(fname, "w") as f:
+            yaml.safe_dump(out, f, sort_keys=False)
+        n_files += 1
+    print(
+        f"wrote {n_files} config file(s) covering {len(clauses)} "
+        f"partition(s) to {args.config_dir}"
+    )
+    return 0
+
+
+def _run_find_tables(args: argparse.Namespace) -> int:
+    """find-tables (reference cli_tools.py:343-360): print JSON pairs of
+    fuzzy-matched table names."""
+    from .session import get_spark
+    from .sources.readers import find_tables
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("psdv-find-tables")
+    try:
+        for reg in args.table:
+            name, _, path = reg.partition("=")
+            if not path:
+                raise SystemExit(f"--table needs name=path, got {reg!r}")
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        print(json.dumps(find_tables(spark, args.score_cutoff)))
+    finally:
+        if not preexisting:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy invocation: bare flags = `run` (the spark-submit jobs and every
@@ -376,11 +647,19 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "query":
         return _run_query(args)
+    if args.command == "configs":
+        return _run_configs_cmd(args)
+    if args.command == "generate-table-partitions":
+        return _run_generate_partitions(args)
+    if args.command == "find-tables":
+        return _run_find_tables(args)
     if args.command == "validate":
         cfg_dict = _config_dict_from_flags(args)
-    else:
-        cfg_dict = load_config(args.config)
-    return _execute_job(args, cfg_dict)
+        if args.config_file or args.config_file_json:
+            _dump_config(cfg_dict, args)
+            return 0
+        return _execute_job(args, cfg_dict)
+    return _run_config_blocks(args, load_config(args.config))
 
 
 def _execute_job(args: argparse.Namespace, cfg_dict: dict) -> int:
@@ -542,7 +821,13 @@ def _execute_job(args: argparse.Namespace, cfg_dict: dict) -> int:
                 )
             else:
                 write_report(report, args.output, small=True)
-        print(report_to_text(report, status_filter=args.filter_status))
+        print(
+            report_to_text(
+                report,
+                status_filter=args.filter_status,
+                fmt=getattr(args, "format", "table"),
+            )
+        )
         failed = (
             report.filter(
                 F.col("validation_status") == consts.VALIDATION_STATUS_FAIL

@@ -98,9 +98,11 @@ def report_to_text(
     status_filter: str | None = None,
     cols: list[str] | None = None,
     max_rows: int = 1000,
+    fmt: str = "table",
 ) -> str:
     """Driver-side rendering of the (small) report — reference text.py
-    semantics incl. --filter-status (reference cli_tools.py)."""
+    semantics incl. --filter-status and --format table|text|csv|json
+    (reference cli_tools.py:980-986, result_handlers/text.py:37-85)."""
     if status_filter:
         report = report.filter(F.col("validation_status") == status_filter)
     cols = cols or [
@@ -113,5 +115,13 @@ def report_to_text(
         "pct_difference",
         "validation_status",
     ]
+    # tolerate reports that carry a subset of the canonical columns (e.g.
+    # schema reports have no group_by_columns; tests inject minimal frames)
+    present = set(report.columns)
+    cols = [c for c in cols if c in present] or report.columns
     pdf = report.select(*cols).limit(max_rows).toPandas()
+    if fmt == "csv":
+        return pdf.to_csv(index=False)
+    if fmt == "json":
+        return pdf.to_json(orient="records")
     return pdf.to_string(index=False)

@@ -1,0 +1,223 @@
+"""CLI parity commands: generate-table-partitions, configs list/get/run,
+validate --config-file store mode, find-tables, --format.
+
+Reference surface: cli_tools.py:240-320 (generate-table-partitions),
+:374-420 (configs), :343-360 (find-tables), :970-986 (--config-file,
+--format); partition_builder.py (NNNN.yaml emission format).
+"""
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _row_fixtures(spark, d):
+    from professional_services_data_validator_spark.sources.readers import (
+        register_transcripts,
+    )
+
+    register_transcripts(spark, "/root/testdata/sf0.001")
+    spark.table("transcripts").drop("event_id").write.parquet(d + "/src")
+    spark.table("transcripts_target").drop("event_id").write.parquet(
+        d + "/tgt"
+    )
+
+
+def test_generate_table_partitions_and_configs_run(spark):
+    """The emitted NNNN.yaml files are runnable row-validation configs whose
+    PK-range filters tile the table: running every partition file finds
+    exactly the violations a single full run finds."""
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _row_fixtures(spark, d)
+        cdir = d + "/partitions"
+        rc = main(
+            [
+                "generate-table-partitions",
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+                "--primary-keys", "conv_id,turn_idx",
+                "--hash", "*",
+                "--partition-num", "4",
+                "--parts-per-file", "2",
+                "--config-dir", cdir,
+            ]
+        )
+        assert rc == 0
+        files = sorted(os.listdir(cdir))
+        assert files == ["0000.yaml", "0001.yaml"]
+
+        # full-run violation count (ground truth)
+        full = main(
+            [
+                "validate", "row",
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+                "--primary-keys", "conv_id,turn_idx",
+                "--hash", "*",
+                "--output", d + "/rep_full",
+            ]
+        )
+        assert full == 1  # planted defects -> fail exit code
+        n_full = (
+            spark.read.parquet(d + "/rep_full")
+            .filter(F.col("validation_status") == "fail")
+            .count()
+        )
+        assert n_full > 0
+
+        # per-partition runs: union of violations == full run
+        for i, fname in enumerate(files):
+            rc_i = main(
+                [
+                    "configs", "run",
+                    "--config-file", os.path.join(cdir, fname),
+                    "--output", d + "/rep_parts",
+                ]
+            )
+            assert rc_i in (0, 1)
+        n_parts = (
+            spark.read.parquet(d + "/rep_parts")
+            .filter(F.col("validation_status") == "fail")
+            .count()
+        )
+        assert n_parts == n_full
+
+
+def test_configs_list_and_get(spark, capsys):
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        for n in ("a.yaml", "b.yaml", "notes.txt"):
+            with open(os.path.join(d, n), "w") as f:
+                f.write("type: Row\n")
+        assert main(["configs", "list", "--config-dir", d]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert out == ["a.yaml", "b.yaml"]
+
+        assert main(
+            ["configs", "get", "--config-file", os.path.join(d, "a.yaml")]
+        ) == 0
+        assert "type: Row" in capsys.readouterr().out
+
+
+def test_validate_config_file_store_then_run(spark):
+    """--config-file stores instead of running; `configs run` on the stored
+    file produces the identical report to the direct flag run (reference
+    cli_tools.py:970-974 store semantics)."""
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _row_fixtures(spark, d)
+        cfg = d + "/stored.yaml"
+        rc = main(
+            [
+                "validate", "column",
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+                "--sum", "*",
+                "--count", "*",
+                "--config-file", cfg,
+            ]
+        )
+        assert rc == 0 and os.path.exists(cfg)
+        # stored, not run: no report yet
+        rc_direct = main(
+            [
+                "validate", "column",
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+                "--sum", "*",
+                "--count", "*",
+                "--output", d + "/rep_direct",
+            ]
+        )
+        rc_stored = main(
+            [
+                "configs", "run",
+                "--config-file", cfg,
+                "--output", d + "/rep_stored",
+            ]
+        )
+        assert rc_direct == rc_stored
+        cols = [
+            "validation_name", "validation_type", "source_agg_value",
+            "target_agg_value", "validation_status",
+        ]
+        a = sorted(
+            map(tuple, spark.read.parquet(d + "/rep_direct")
+                .select(*cols).collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(d + "/rep_stored")
+                .select(*cols).collect())
+        )
+        assert a == b
+
+
+def test_validate_config_file_json_store(spark):
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _row_fixtures(spark, d)
+        cfg = d + "/stored.json"
+        rc = main(
+            [
+                "validate", "row",
+                "--source-path", d + "/src",
+                "--target-path", d + "/tgt",
+                "--primary-keys", "conv_id,turn_idx",
+                "--hash", "*",
+                "--config-file-json", cfg,
+            ]
+        )
+        assert rc == 0
+        stored = json.load(open(cfg))
+        assert stored["type"] == "Row"
+        assert stored["hash_columns"] == "*"
+        assert stored["source_path"] == d + "/src"
+
+
+def test_find_tables_command(spark, capsys):
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _row_fixtures(spark, d)
+        rc = main(
+            [
+                "find-tables",
+                "--table", "orders=" + d + "/src",
+                "--table", "orders_v2=" + d + "/tgt",
+                "--score-cutoff", "0.7",
+            ]
+        )
+        assert rc == 0
+        pairs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert any(
+            {p["source_table"], p["target_table"]} == {"orders", "orders_v2"}
+            for p in pairs
+        )
+
+
+def test_report_format_csv_json(spark, capsys):
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _row_fixtures(spark, d)
+        base = [
+            "validate", "column",
+            "--source-path", d + "/src",
+            "--target-path", d + "/tgt",
+            "--count", "*",
+        ]
+        main(base + ["--format", "json"])
+        out = capsys.readouterr().out
+        rows = json.loads(out.strip().splitlines()[-1])
+        assert rows and rows[0]["validation_type"] == "Column"
+
+        main(base + ["--format", "csv"])
+        out = capsys.readouterr().out
+        assert "validation_name,validation_type" in out
