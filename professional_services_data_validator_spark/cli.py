@@ -241,7 +241,21 @@ def build_parser() -> argparse.ArgumentParser:
     crun = csub.add_parser(
         "run", help="run every validation block in a YAML config"
     )
-    crun.add_argument("--config-file", required=True)
+    crun.add_argument("--config-file", default=None)
+    crun.add_argument(
+        "--config-dir",
+        default=None,
+        help="run every config file in a directory (reference config_runner "
+        "directory mode, __main__.py:384-401)",
+    )
+    crun.add_argument(
+        "--kube-completions",
+        "-kc",
+        action="store_true",
+        help="indexed fan-out: with --config-dir, run ONLY the file whose "
+        "sorted position equals $JOB_COMPLETION_INDEX / $CLOUD_RUN_TASK_INDEX "
+        "(reference __main__.py:365-383 — one container per partition YAML)",
+    )
     _add_job_args(crun)
 
     # generate-table-partitions (reference cli_tools.py:240-320 +
@@ -535,7 +549,44 @@ def _run_configs_cmd(args: argparse.Namespace) -> int:
         with open(args.config_file) as f:
             print(f.read())
         return 0
-    return _run_config_blocks(args, load_config(args.config_file))
+    # run: one file, a whole directory, or the indexed slice of a directory
+    # (reference config_runner, __main__.py:352-401: --kube-completions picks
+    # exactly the YAML matching the container's completion index so an
+    # indexed K8s Job / Cloud Run task array fans out one partition per task)
+    if args.config_file:
+        return _run_config_blocks(args, load_config(args.config_file))
+    if not args.config_dir:
+        raise SystemExit("configs run needs --config-file or --config-dir")
+    names = sorted(
+        n for n in os.listdir(args.config_dir)
+        if n.endswith((".yaml", ".yml", ".json"))
+    )
+    if args.kube_completions:
+        idx_var = next(
+            (
+                v for v in ("JOB_COMPLETION_INDEX", "CLOUD_RUN_TASK_INDEX")
+                if os.environ.get(v) is not None
+            ),
+            None,
+        )
+        if idx_var is None:
+            raise SystemExit(
+                "--kube-completions set but neither JOB_COMPLETION_INDEX "
+                "nor CLOUD_RUN_TASK_INDEX is in the environment"
+            )
+        idx = int(os.environ[idx_var])
+        if not 0 <= idx < len(names):
+            raise SystemExit(
+                f"{idx_var}={idx} out of range for {len(names)} config "
+                f"file(s) in {args.config_dir}"
+            )
+        names = [names[idx]]
+    rc = 0
+    for n in names:
+        rc |= _run_config_blocks(
+            args, load_config(os.path.join(args.config_dir, n))
+        )
+    return rc
 
 
 def _run_generate_partitions(args: argparse.Namespace) -> int:

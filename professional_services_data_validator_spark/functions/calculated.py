@@ -248,7 +248,12 @@ def to_char_number(
         v = col.cast("double")
         # HALF_UP, min-int "0"
         base = F.format_string(f"%.{frac_len}f", F.abs(v))
-    sign = F.when(v < 0, F.lit("-")).otherwise(F.lit(""))
+    # sign follows the ROUNDED value (Oracle formats the rounded number): a
+    # negative that rounds to zero at the model scale renders unsigned.
+    # `base` holds only digits and an optional point, so stripping [0.]
+    # leaves "" exactly when the rounded magnitude is zero.
+    rounded_zero = F.regexp_replace(base, "[0.]", "") == ""
+    sign = F.when((v < 0) & ~rounded_zero, F.lit("-")).otherwise(F.lit(""))
     ip = F.substring_index(base, ".", 1) if frac_len else base
     fp = F.substring_index(base, ".", -1) if frac_len else F.lit("")
 

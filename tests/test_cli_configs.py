@@ -181,6 +181,68 @@ def test_validate_config_file_json_store(spark):
         assert stored["source_path"] == d + "/src"
 
 
+def test_configs_run_dir_and_kube_completions(spark, monkeypatch):
+    """`configs run --config-dir` executes every file; with
+    --kube-completions only the file at $JOB_COMPLETION_INDEX runs
+    (reference __main__.py:365-401 config_runner)."""
+    import yaml
+
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _row_fixtures(spark, d)
+        cdir = d + "/cfgs"
+        os.makedirs(cdir)
+        for i, agg in enumerate(("count", "sum")):
+            with open(os.path.join(cdir, f"{i:04d}.yaml"), "w") as f:
+                yaml.safe_dump(
+                    {
+                        "type": "Column",
+                        "source_path": d + "/src",
+                        "target_path": d + "/tgt",
+                        "aggregates": [
+                            {"agg_type": agg, "column": "turn_idx"}
+                        ],
+                    },
+                    f,
+                )
+        # directory mode: both files run -> 2 report rows appended
+        rc = main(
+            ["configs", "run", "--config-dir", cdir,
+             "--output", d + "/rep_all"]
+        )
+        assert rc in (0, 1)
+        names_all = {
+            r["validation_name"]
+            for r in spark.read.parquet(d + "/rep_all").collect()
+        }
+        assert names_all == {"count__turn_idx", "sum__turn_idx"}
+
+        # indexed fan-out: only file 0001 (sum) runs
+        monkeypatch.setenv("JOB_COMPLETION_INDEX", "1")
+        rc = main(
+            ["configs", "run", "--config-dir", cdir, "--kube-completions",
+             "--output", d + "/rep_one"]
+        )
+        assert rc in (0, 1)
+        names_one = {
+            r["validation_name"]
+            for r in spark.read.parquet(d + "/rep_one").collect()
+        }
+        assert names_one == {"sum__turn_idx"}
+
+        # out-of-range index is an explicit error
+        monkeypatch.setenv("JOB_COMPLETION_INDEX", "7")
+        try:
+            main(
+                ["configs", "run", "--config-dir", cdir,
+                 "--kube-completions"]
+            )
+            raise AssertionError("expected SystemExit")
+        except SystemExit as e:
+            assert "out of range" in str(e)
+
+
 def test_find_tables_command(spark, capsys):
     from professional_services_data_validator_spark.cli import main
 
