@@ -188,8 +188,21 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
-    sh = shingles(df, id_col, text_col, k)
+    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
+
+    The shingle set feeds four subtrees (minhash agg, pair-size agg, and
+    both sides of the intersection join), so it is persisted
+    MEMORY_AND_DISK — the classic LSH "materialize the shingle/signature
+    matrix once" design (MMDS ch.3). Without it every consumer re-runs the
+    tokenize+explode+distinct scan (measured 2.2x e2e at sf0.1, see
+    scripts/profile_training.py). At 100 TB the persist spills to local
+    disk, which is still one corpus scan instead of four.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidates(sig, num_hashes, bands)
     return jaccard_verify(cand, sh, threshold)
@@ -296,9 +309,18 @@ def simhash_near_pairs(
         )
         for c in range(chunks)
     ]
+    # blocked is both sides of the self-join; persist so the signature
+    # computation (a full corpus tokenize+agg upstream) runs once, not
+    # twice (measured 2.3x e2e at sf0.1 — ReusedExchange does not fire
+    # here because the a.id < b.id predicate lands in different join
+    # positions). Tiny frame: (id, int, chunk) x (d+1) rows per doc.
+    from pyspark import StorageLevel
+
     blocked = sim.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     return (

@@ -203,13 +203,19 @@ def srp_near_pairs(
             for i in range(n_chunks)
         ]
     )
+    # both self-join sides read `chunks`; persist so the 16-plane signature
+    # fold over the corpus runs once, not twice (same rationale as
+    # simhash_near_pairs — the asymmetric id_a < id_b filter defeats
+    # ReusedExchange). Spills to disk at scale: one corpus scan, not two.
+    from pyspark import StorageLevel
+
     chunks = sigs.select(
         "id", "vec", "srp_sig", F.explode(chunk_structs).alias("ch")
     ).select(
         "id", "vec", "srp_sig",
         F.col("ch.chunk_idx").alias("chunk_idx"),
         F.col("ch.chunk_val").alias("chunk_val"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = chunks.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("va"),
