@@ -222,6 +222,8 @@ def ngram_jaccard_pairs(
     LSH this is quadratic per block — the baseline against which
     minhash_dedup_pairs is the scale path. Output (id_a, id_b, jaccard).
     """
+    from pyspark import StorageLevel
+
     sh = shingles(df, id_col, text_col, k)
     if block_col is not None:
         blocks = df.select(F.col(id_col).alias("id"), block_col.alias("blk"))
@@ -230,6 +232,9 @@ def ngram_jaccard_pairs(
     else:
         sh = sh.withColumn("blk", F.lit(0))
         join_keys = ["shingle", "blk"]
+    # sh feeds the size agg and both self-join sides — one scan, not three
+    # (same persist rationale as minhash_dedup_pairs)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), *join_keys)
     b = sh.select(F.col("id").alias("id_b"), *join_keys)
