@@ -284,6 +284,66 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 4b. checksum-first partition validation (aggregate-only, no PK shuffle)
+# ---------------------------------------------------------------------------
+
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-partition (count, 120-bit row-hash XOR) fingerprints for both
+    sides, aligned -> partition verdicts. The checksum-first scale path: one
+    map-side-combined aggregate per side (shuffle = O(partitions) rows) clears
+    clean partitions WITHOUT the row-level PK join; only failing partitions
+    need the drill-down (operators/checksums.py, reference analog
+    query_builder.py:90-97 bit_xor). Hash chain identical to
+    row_hash_violations, so a cleared partition is cleared against the same
+    bytes the row validation would compare."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.checksums import (
+        checksum_validation,
+    )
+
+    src = _with_epoch(spark.table("transcripts")).drop("event_id")
+    tgt = _with_epoch(spark.table("transcripts_target")).drop("event_id")
+    return checksum_validation(
+        src, tgt, F.date_format("ts", "yyyy-MM-dd"),
+        ["role", "text", "tool", "ts_us"],
+    ).orderBy("partition_id")
+
+
+_CHECKSUM_HASH_SQL = """
+  sha256(rtrim(coalesce(CAST(role AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(text AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(tool AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(epoch_us(ts) AS VARCHAR),
+                        'DEFAULT_REPLACEMENT_STRING'))
+  )"""
+
+_SQL_PARTITION_CHECKSUMS = f"""{_CTES},
+sh AS (SELECT strftime(ts, '%Y-%m-%d') AS partition_id,
+  {_CHECKSUM_HASH_SQL} AS h FROM transcripts),
+th AS (SELECT strftime(ts, '%Y-%m-%d') AS partition_id,
+  {_CHECKSUM_HASH_SQL} AS h FROM transcripts_target),
+ss AS (SELECT partition_id, count(*) AS n,
+  CAST(bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS BIGINT) AS lo,
+  CAST(bit_xor(('0x' || substr(h, 16, 15))::BIGINT) AS BIGINT) AS hi
+  FROM sh GROUP BY 1),
+tt AS (SELECT partition_id, count(*) AS n,
+  CAST(bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS BIGINT) AS lo,
+  CAST(bit_xor(('0x' || substr(h, 16, 15))::BIGINT) AS BIGINT) AS hi
+  FROM th GROUP BY 1)
+SELECT coalesce(ss.partition_id, tt.partition_id) AS partition_id,
+  ss.n AS n_rows_src, tt.n AS n_rows_tgt,
+  (ss.n IS NOT DISTINCT FROM tt.n AND ss.lo IS NOT DISTINCT FROM tt.lo
+   AND ss.hi IS NOT DISTINCT FROM tt.hi) AS checksum_match,
+  CASE WHEN ss.n IS NOT DISTINCT FROM tt.n
+        AND ss.lo IS NOT DISTINCT FROM tt.lo
+        AND ss.hi IS NOT DISTINCT FROM tt.hi
+       THEN 'success' ELSE 'fail' END AS validation_status
+FROM ss FULL OUTER JOIN tt ON ss.partition_id = tt.partition_id
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. uniqueness violations on (conv_id, turn_idx)
 # ---------------------------------------------------------------------------
 
@@ -802,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_validation_report": q_column_validation,
         "grouped_validation_by_day": q_grouped_validation,
         "row_hash_violations": q_row_violations,
+        "partition_checksum_compare": q_partition_checksums,
         "uniqueness_violations": q_uniqueness,
         "referential_orphans": q_referential,
         "drift_psi_role": q_drift_psi,
@@ -826,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "column_validation_report": _SQL_COLUMN_VALIDATION,
         "grouped_validation_by_day": _SQL_GROUPED_VALIDATION,
         "row_hash_violations": _SQL_ROW_VIOLATIONS,
+        "partition_checksum_compare": _SQL_PARTITION_CHECKSUMS,
         "uniqueness_violations": _SQL_UNIQUENESS,
         "referential_orphans": _SQL_REFERENTIAL,
         "drift_psi_role": _SQL_DRIFT_PSI,

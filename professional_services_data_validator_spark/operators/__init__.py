@@ -11,6 +11,12 @@ from .partitioning import (
     salted_agg,
 )
 from .sampling import deterministic_sample
+from .checksums import (
+    checksum_compare,
+    checksum_validation,
+    failing_partition_predicate,
+    partition_checksums,
+)
 
 __all__ = [
     "column_stats",
@@ -29,4 +35,8 @@ __all__ = [
     "assign_partition_id",
     "salted_agg",
     "deterministic_sample",
+    "partition_checksums",
+    "checksum_compare",
+    "checksum_validation",
+    "failing_partition_predicate",
 ]
