@@ -117,6 +117,17 @@ def _add_job_args(p: argparse.ArgumentParser) -> None:
         default="table",
         help="stdout report format (reference cli_tools.py --format)",
     )
+    p.add_argument(
+        "--checksum-first",
+        default=None,
+        metavar="PARTITION_EXPR",
+        help="ROW validations: partition SQL expression (e.g. 'date(ts)'). "
+        "Runs the aggregate-only partition-checksum compare first "
+        "(operators/checksums.py — shuffle is O(partitions) fingerprints, "
+        "not O(rows)) and row-joins ONLY partitions whose fingerprints "
+        "differ; per-partition checksum verdicts land in the lineage table "
+        "under stage '<type>:checksum'",
+    )
 
 
 def _add_validate_flags(p: argparse.ArgumentParser, vtype: str) -> None:
@@ -790,6 +801,52 @@ def _execute_job(args: argparse.Namespace, cfg_dict: dict) -> int:
             # one pushdown-able predicate; passed PK ranges never rescanned
             source = source.filter(F.expr(wc))
             target = target.filter(F.expr(wc))
+
+    if (
+        getattr(args, "checksum_first", None)
+        and config.validation_type == consts.ROW_VALIDATION
+        and source is not None
+    ):
+        # checksum-first drilldown: the fingerprint pass clears clean
+        # partitions with a map-side-combined aggregate (no PK shuffle);
+        # the O(rows) full-outer join below then runs over dirty partitions
+        # only. Fingerprints use the same --hash '*' chain as the row join,
+        # so a cleared partition is cleared against the same bytes.
+        from .metadata import RunMetadata
+        from .operators.checksums import (
+            checksum_validation,
+            failing_partition_predicate,
+        )
+
+        pexpr = F.expr(args.checksum_first).cast("string")
+        ck_cols = (
+            [c for c in source.columns if c not in config.primary_keys]
+            if (config.hash_columns or "*") == "*"
+            else list(config.hash_columns)
+        )
+        ck = checksum_validation(
+            source, target, pexpr, ck_cols,
+            case_insensitive=config.case_insensitive_match,
+        ).persist()
+        try:
+            n_total = ck.count()
+            n_fail = ck.filter(
+                F.col("validation_status") == consts.VALIDATION_STATUS_FAIL
+            ).count()
+            if store:
+                store.append_verdicts(
+                    ck, ch, RunMetadata().run_id,
+                    f"{config.validation_type}:checksum",
+                )
+            pred = failing_partition_predicate(ck, pexpr)
+        finally:
+            ck.unpersist()
+        print(
+            f"checksum-first: {n_fail}/{n_total} partitions failed the "
+            "fingerprint compare; row validation drills into those only"
+        )
+        source = source.filter(pred)
+        target = target.filter(pred)
 
     report = run_validation(config, source, target, spark=spark)
     # every downstream action (verdicts, write, text, exit count) re-executes

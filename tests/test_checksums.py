@@ -109,6 +109,60 @@ def test_checksum_missing_partition_fails(spark, transcripts):
     assert row["n_rows_tgt"] is None
 
 
+def test_cli_checksum_first_report_matches_plain_run(spark, transcripts):
+    """`validate row --checksum-first 'date(ts)'` must report exactly the
+    fail rows of the plain run (the fingerprint pass may only skip CLEAN
+    partitions), and the checksum verdicts land in lineage under the
+    ':checksum' stage."""
+    import os
+    import tempfile
+
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        transcripts.drop("event_id").write.parquet(d + "/src")
+        spark.table("transcripts_target").drop("event_id").write.parquet(
+            d + "/tgt"
+        )
+        base = [
+            "validate", "row",
+            "--source-path", d + "/src",
+            "--target-path", d + "/tgt",
+            "--primary-keys", "conv_id,turn_idx",
+            "--hash", "*",
+        ]
+        rc_plain = main(base + ["--output", d + "/rep_plain"])
+        rc_ck = main(
+            base
+            + [
+                "--checksum-first", "date(ts)",
+                "--output", d + "/rep_ck",
+                "--lineage-dir", d + "/lineage",
+            ]
+        )
+        assert rc_plain == rc_ck == 1  # planted defects
+        cols = ["group_by_columns", "validation_status"]
+        plain = sorted(
+            map(tuple, spark.read.parquet(d + "/rep_plain")
+                .filter(F.col("validation_status") == "fail")
+                .select(*cols).collect())
+        )
+        ck = sorted(
+            map(tuple, spark.read.parquet(d + "/rep_ck")
+                .filter(F.col("validation_status") == "fail")
+                .select(*cols).collect())
+        )
+        assert plain == ck and len(plain) > 0
+        lin = spark.read.parquet(d + "/lineage")
+        stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+        assert any(s.endswith(":checksum") for s in stages)
+        n_ck_verdicts = lin.filter(
+            F.col("stage").endswith(":checksum")
+        ).count()
+        assert n_ck_verdicts == 30  # one per day partition
+        assert os.path.isdir(d + "/lineage")
+
+
 def test_partition_checksums_shuffle_is_post_aggregate(spark, transcripts):
     """Scale property: the only exchange in the fingerprint plan sits AFTER
     the partial hash aggregate — the shuffle carries O(partitions) fingerprint
