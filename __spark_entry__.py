@@ -287,7 +287,9 @@ ORDER BY 1, 2
 # 4b. checksum-first partition validation (aggregate-only, no PK shuffle)
 # ---------------------------------------------------------------------------
 
-def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_partition_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Per-day-partition (count, 120-bit row-hash XOR) fingerprints for both
     sides, aligned -> partition verdicts. The checksum-first scale path: one
     map-side-combined aggregate per side (shuffle = O(partitions) rows) clears
@@ -306,7 +308,12 @@ def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checksum_validation(
         src, tgt, F.date_format("ts", "yyyy-MM-dd"),
         ["role", "text", "tool", "ts_us"],
-    ).orderBy("partition_id")
+    )
+
+
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy only for the driver's deterministic oracle comparison
+    return _build_partition_checksums(spark, sf_dir).orderBy("partition_id")
 
 
 _CHECKSUM_HASH_SQL = """
@@ -1889,6 +1896,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         {
             "row_hash_violations": _build_row_violations,
+            "partition_checksum_compare": _build_partition_checksums,
             "uniqueness_violations": _build_uniqueness,
             "referential_orphans": _build_referential,
             "salted_agg_parity": _build_salted_agg,

@@ -89,6 +89,15 @@ NOTES = {
         "side is bounded by vocabulary, not corpus; at 100 TB the only "
         "O(data) stages are the token explode and the (doc, token) shuffle."
     ),
+    "partition_checksum_compare": (
+        "Checksum-first partition validation: sha256 row hash computed in "
+        "the map-side Project, sliced to two 60-bit ints, XOR-folded by the "
+        "PARTIAL HashAggregate below the exchange — the shuffle carries "
+        "O(partitions) (group, count, xor, xor) fingerprint rows, never row "
+        "hashes (measured 378.9 MB -> 0.29 MB at 4M turns). The fingerprint "
+        "frames join with a tiny exchange; at 100 TB the expensive PK "
+        "shuffle runs only for the partitions this plan flags."
+    ),
     "srp_embedding_near_pairs": (
         "SRP LSH near-dup: 16 literal-array dot-product folds per row "
         "(whole-stage codegen, no Python, no shuffle) -> signature chunk "
