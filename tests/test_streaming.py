@@ -54,6 +54,60 @@ def test_stream_column_stats_matches_batch(spark, transcripts):
                 assert got[day][k] == batch[day][k], (day, k)
 
 
+def test_stream_partition_checksums_match_batch(spark, transcripts):
+    """Streaming per-window fingerprints are bit-identical to the batch
+    partition_checksums operator, and checksum_compare against a
+    defect-injected batch side flags exactly the days batch flags."""
+    from professional_services_data_validator_spark.operators.checksums import (
+        checksum_compare,
+        checksum_validation,
+        partition_checksums,
+    )
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_partition_checksums,
+    )
+
+    cols = ["role", "text", "tool"]
+    with tempfile.TemporaryDirectory() as d:
+        stream = _file_stream(spark, transcripts, d)
+        out = stream_partition_checksums(stream, cols, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ck_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("ck_out")
+        batch = partition_checksums(
+            transcripts, F.date_format("ts", "yyyy-MM-dd"), cols
+        )
+        key = lambda r: (r["partition_id"], r["n_rows"],
+                         r["xor_lo"], r["xor_hi"])
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, batch.collect())
+        )
+
+        # incremental verdicts: streaming fingerprints vs batch target side
+        tgt = spark.table("transcripts_target")
+        v_stream = checksum_compare(
+            got, partition_checksums(
+                tgt, F.date_format("ts", "yyyy-MM-dd"), cols
+            )
+        )
+        v_batch = checksum_validation(
+            transcripts, tgt, F.date_format("ts", "yyyy-MM-dd"), cols
+        )
+        fails = lambda df: {
+            r["partition_id"]
+            for r in df.collect()
+            if r["validation_status"] == "fail"
+        }
+        assert fails(v_stream) == fails(v_batch)
+        assert 0 < len(fails(v_batch))
+
+
 def test_stream_uniqueness_alerts(spark, transcripts):
     dirty = transcripts.drop("event_id").unionByName(
         transcripts.drop("event_id").filter(F.col("turn_idx") == 0).limit(5)
