@@ -331,6 +331,46 @@ def test_cli_query_command(spark, capsys):
         assert str(n) in out
 
 
+def test_cli_catalog_table_sources(spark):
+    """--source-table/--target-table resolve through the session catalog
+    (cli `_load_side` -> ``spark.read.table``) — the exact read path an
+    Iceberg catalog table takes in production (north-rule input is an
+    Iceberg transcripts table; here the catalog entries are managed
+    parquet tables, same API surface). The report must be identical to
+    the parquet-path run over the same data."""
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_fixtures(spark, d)
+        spark.read.parquet(d + "/src").write.saveAsTable("cat_src_cli_test")
+        spark.read.parquet(d + "/tgt").write.saveAsTable("cat_tgt_cli_test")
+        try:
+            flags = [
+                "validate", "column",
+                "--count", "*",
+                "--sum", "turn_idx",
+                "--grouped-columns", "ts",
+            ]
+            rc_path = main(
+                flags
+                + ["--source-path", d + "/src", "--target-path", d + "/tgt",
+                   "--output", d + "/rep_path"]
+            )
+            rc_cat = main(
+                flags
+                + ["--source-table", "cat_src_cli_test",
+                   "--target-table", "cat_tgt_cli_test",
+                   "--output", d + "/rep_cat"]
+            )
+            assert rc_path == rc_cat
+            assert _report_rows(spark, d + "/rep_path") == _report_rows(
+                spark, d + "/rep_cat"
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cat_src_cli_test")
+            spark.sql("DROP TABLE IF EXISTS cat_tgt_cli_test")
+
+
 @pytest.mark.slow
 def test_spark_submit_py_files(spark):
     """Real spark-submit with the zip artifact — the packaging contract."""
