@@ -1593,8 +1593,89 @@ FROM documents ORDER BY id
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: LSH pairs -> connected components ->
+    per-doc (cluster_id, cluster_size, is_canonical). The iterative
+    min-label propagation is pure DataFrame ops (one message shuffle + one
+    min-aggregate per round, localCheckpoint lineage cuts); the DuckDB
+    oracle replays the whole pipeline including the component resolution
+    as a recursive CTE."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    return dedup_clusters(
+        spark.table("documents"), "doc_id", "text",
+        k=2, num_hashes=8, bands=4, threshold=0.5,
+    ).orderBy("doc_id")
+
+
+# Same LSH CTE chain as _SQL_LSH_DEDUP (identical params), then: symmetric
+# edge list -> recursive min-label reachability -> min per node = component
+# id (graph is symmetric, so min reachable label == component min).
+_SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+sig AS (
+  SELECT id,
+    {mins}
+  FROM sh GROUP BY id),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  (doc_id = cluster_id) AS is_canonical
+FROM comp ORDER BY doc_id
+""".format(
+    mins=",\n    ".join(
+        f"min(md5('{j}|' || shingle)) AS mh_{j}" for j in range(8)
+    ),
+    bands="\n  UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, "
+        "md5(concat_ws('|', mh_{r0}, mh_{r1})) AS band_hash FROM sig".format(
+            b=b, r0=b * 2, r1=b * 2 + 1
+        )
+        for b in range(4)
+    ),
+)
+
+
 _TRAINING_QUERIES.update(
     {
+        "dedup_clusters": q_dedup_clusters,
         "lsh_dedup_pairs": q_lsh_dedup,
         "simhash_near_pairs": q_simhash_near,
         "doc_quality": q_doc_quality,
@@ -1603,6 +1684,7 @@ _TRAINING_QUERIES.update(
 )
 _TRAINING_ORACLES.update(
     {
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "lsh_dedup_pairs": _SQL_LSH_DEDUP,
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "doc_quality": _SQL_DOC_QUALITY,

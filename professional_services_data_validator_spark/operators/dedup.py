@@ -345,3 +345,128 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into connected-component CLUSTERS — the
+    cluster-resolution step a dedup pipeline runs between candidate-pair
+    generation (LSH/simhash/SRP) and duplicate dropping.
+
+    Algorithm: iterative min-label propagation. Every node starts labeled
+    with its own id; each round every node takes the min of its own and its
+    neighbors' labels; converged when no label shrinks. Rounds needed =
+    component diameter, which for near-dup graphs is small by construction
+    (dup groups are near-cliques — 2-4 rounds in practice). For general
+    high-diameter graphs the O(log n)-round alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC '14) is the drop-in upgrade; the simple
+    propagation is the right cost model for the dedup-graph shape (one
+    O(E) message shuffle + one O(V) min-aggregate per round).
+
+    Scale notes: only nodes incident to an edge enter the loop — singleton
+    docs (the overwhelming majority of a 100 TB corpus) skip straight to
+    the final left-join. ``localCheckpoint`` after every round cuts the
+    growing lineage so round k does not replay rounds 1..k-1 (on a real
+    cluster with fault-tolerance requirements, ``checkpoint`` to reliable
+    storage instead). The convergence probe is a LIMIT 1 existence check,
+    not a full count.
+
+    Returns (id, cluster_id): cluster_id = min node id reachable from id;
+    nodes with no near-dup edge get cluster_id = their own id. Raises if
+    ``max_iter`` rounds do not converge (silently-truncated propagation
+    would mislabel clusters).
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.select(F.col("id").alias("src"), "lbl"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        shrank = (
+            new.join(
+                labels.select("id", F.col("lbl").alias("old")), "id"
+            )
+            .filter(F.col("lbl") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if shrank == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component diameter exceeds the dedup-graph assumption — use a "
+            "large-star/small-star pass or raise max_iter"
+        )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("lbl"), F.col("id")).alias("cluster_id")
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH pairs -> connected
+    components -> per-doc cluster assignment with a deterministic canonical
+    representative (the min doc id of the cluster — what a training-data
+    pipeline keeps; the rest are dropped as near-duplicates).
+
+    Output: (doc_id, cluster_id, cluster_size, is_canonical), one row per
+    input doc. cluster_size is computed with a window partitioned by
+    cluster_id (clusters are small by construction, so no skewed-window
+    hazard). Engine-portable md5 hashing end to end, so the whole pipeline
+    — including the iterative component resolution — has an exact DuckDB
+    oracle (recursive CTE).
+    """
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    comp = connected_components(pairs, df.select(id_col), id_col=id_col)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -482,3 +482,65 @@ def test_decode_media_null_payload_yields_null_features(spark):
     assert rows[1].mean_px is not None and rows[1].width == 100
     assert rows[2].mean_px is None
     assert rows[2].width is None and rows[2].height is None
+
+
+def test_connected_components_transitive_chain(spark):
+    """Min-label propagation must cross multi-hop chains (diameter > 1):
+    a path 1-2-3-4-5 is ONE component labeled by its min node, and nodes
+    with no edges keep their own id as cluster_id."""
+    import pytest
+
+    from professional_services_data_validator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], ["id"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+    # refusing to return silently-truncated propagation: the 5-chain needs
+    # more than 2 rounds, so max_iter=2 must raise, not mislabel
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iter=2)
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """LSH pairs -> components -> per-doc cluster rows: transitive near-dups
+    (a~b, b~c) land in ONE cluster whose canonical is the min doc id;
+    unrelated docs are singleton canonicals; one output row per input doc."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " today"),          # near-dup of 1
+            (3, "so " + base),             # near-dup of 1 and 2
+            (4, "completely different words about training data pipelines"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_clusters(
+            docs, "doc_id", "text", k=2, num_hashes=8, bands=4,
+            threshold=0.3,
+        ).collect()
+    }
+    assert len(rows) == 4
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == 1
+    assert rows[3]["cluster_id"] == 1
+    assert rows[1]["cluster_size"] == 3 and rows[1]["is_canonical"]
+    assert not rows[2]["is_canonical"] and not rows[3]["is_canonical"]
+    assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 1
+    assert rows[4]["is_canonical"]
