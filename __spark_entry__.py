@@ -1673,8 +1673,149 @@ FROM comp ORDER BY doc_id
 )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test split over documents —
+    reproducible across runs/engines/partitionings (md5 hex-prefix CASE, a
+    map-only projection with zero shuffle). Keyed on doc_id here; keying on
+    conv_id in a transcript pipeline keeps whole conversations in one split
+    (the leakage guard)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.sampling import (
+        hash_split,
+    )
+
+    return (
+        hash_split(
+            spark.table("documents"), ["doc_id"],
+            {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42,
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _hash_split_oracle_sql() -> str:
+    from professional_services_data_validator_spark.operators.sampling import (
+        split_thresholds,
+    )
+
+    t_train, t_val = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+SELECT doc_id,
+  CASE
+    WHEN substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         < '{t_train}' THEN 'train'
+    WHEN substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         < '{t_val}' THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: offset-binned (shard, bin_id) assignment filling a
+    512-token budget, one parallel window per md5 shard (no global sort, no
+    single-reducer window). Exact DuckDB oracle over the same windowed
+    prefix sums."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = spark.table("documents")
+    t = F.trim(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, " +")))
+        .alias("n_tokens"),
+    )
+    return pack_sequences(
+        toks, "doc_id", "n_tokens", budget=512, num_shards=8
+    ).orderBy("id")
+
+
+_SQL_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id AS id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), ' +')) END AS n_tokens
+  FROM documents),
+sh AS (
+  SELECT id, n_tokens,
+    CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+      AS shard
+  FROM toks),
+c AS (
+  SELECT id, shard, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM sh)
+SELECT id, shard, CAST(floor(cum * 1.0 / 512) AS BIGINT) AS bin_id,
+  cum % 512 AS offset_in_bin, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c ORDER BY id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 2 distinct word
+    3-gram shingles with any 'benchmark' doc (docs with doc_id % 37 == 0
+    stand in for an eval set; the rest are the corpus). Benchmark side is
+    broadcast twice — the exploded corpus-shingle stream never shuffles;
+    the only exchange carries (doc, bench) hit pairs."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    docs = spark.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate(
+        corpus, bench, "doc_id", "text", "bench_id", "text",
+        k=3, min_overlap=2,
+    ).orderBy("doc_id", "bench_id")
+
+
+_SQL_DECONTAMINATE = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0),
+bench AS (SELECT doc_id AS bench_id, text FROM documents
+          WHERE doc_id % 37 = 0),
+ctoks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
+          FROM corpus),
+csh AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM ctoks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+btoks AS (SELECT bench_id AS id, regexp_split_to_array(trim(text), ' +') AS t
+          FROM bench),
+bsh AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM btoks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+bsz AS (SELECT id AS bench_id, count(*) AS bench_ngrams FROM bsh
+        GROUP BY id),
+hits AS (
+  SELECT c.id AS doc_id, b.id AS bench_id, count(*) AS n_overlap
+  FROM csh c JOIN bsh b ON b.shingle = c.shingle
+  GROUP BY c.id, b.id
+  HAVING count(*) >= 2)
+SELECT doc_id, bench_id, n_overlap, bench_ngrams,
+  round(n_overlap * 1.0 / bench_ngrams, 6) AS overlap_frac
+FROM hits JOIN bsz USING (bench_id)
+ORDER BY doc_id, bench_id
+"""
+
+
 _TRAINING_QUERIES.update(
     {
+        "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
         "dedup_clusters": q_dedup_clusters,
         "lsh_dedup_pairs": q_lsh_dedup,
         "simhash_near_pairs": q_simhash_near,
@@ -1684,6 +1825,9 @@ _TRAINING_QUERIES.update(
 )
 _TRAINING_ORACLES.update(
     {
+        "decontaminate": _SQL_DECONTAMINATE,
+        "hash_split": _hash_split_oracle_sql(),
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "lsh_dedup_pairs": _SQL_LSH_DEDUP,
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,

@@ -470,3 +470,59 @@ def dedup_clusters(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    k: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share
+    ``min_overlap`` or more distinct word k-gram shingles with any
+    benchmark/eval document — the test-set-overlap check every training-data
+    pipeline runs before training (the GPT-3 appendix-C 13-gram method;
+    no reference analog — BASELINE training-pipeline extension).
+
+    Output: one row per contaminated (doc, benchmark-doc) pair —
+    (doc_id, bench_id, n_overlap, bench_ngrams, overlap_frac) where
+    n_overlap counts distinct shared shingles and overlap_frac =
+    n_overlap / benchmark-doc shingle count. Dropping the flagged docs is a
+    left-anti join on doc_id:
+    ``docs.join(hits.select(doc_id).distinct(), doc_id, "left_anti")``.
+
+    Scale posture (100 TB corpus vs MB-scale benchmark): the benchmark
+    shingle set is tiny by construction (eval sets are thousands of docs),
+    so BOTH joins broadcast the benchmark side — the exploded corpus-shingle
+    stream (rows ~ corpus tokens) is consumed map-side and never shuffles;
+    the only exchange is the groupBy on matched (doc, bench) pairs, which
+    carries hits only (rare by definition). Everything is built-in
+    functions on md5-free plain-string shingles, so the pipeline has an
+    exact DuckDB oracle.
+    """
+    doc_sh = shingles(docs, doc_id, text_col, k=k)
+    bench_sh = shingles(benchmark, bench_id, bench_text, k=k).select(
+        F.col("id").alias("__bench_id"), "shingle"
+    )
+    bench_sizes = bench_sh.groupBy("__bench_id").agg(
+        F.count(F.lit(1)).alias("bench_ngrams")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id", "__bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return hits.join(F.broadcast(bench_sizes), "__bench_id").select(
+        F.col("id").alias(doc_id),
+        F.col("__bench_id").alias(bench_id),
+        "n_overlap",
+        "bench_ngrams",
+        F.round(
+            F.col("n_overlap") / F.col("bench_ngrams"), 6
+        ).alias("overlap_frac"),
+    )

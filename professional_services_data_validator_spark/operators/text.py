@@ -253,3 +253,61 @@ def fingerprint(
     return df.select(
         F.col(id_col).alias("id"), F.md5(fp).alias("fingerprint")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing: assign each document a (shard, bin_id) so bins fill
+    a fixed token budget — the batching step before LLM training writes
+    fixed-length examples (no reference analog; BASELINE training-pipeline
+    extension).
+
+    Offset binning: docs are laid end-to-end in deterministic id order
+    within a shard; a doc goes to the bin where its start offset falls
+    (``bin_id = floor(exclusive-prefix-sum / budget)``). A doc may overflow
+    its bin by up to its own length — the deterministic, window-expressible
+    approximation of first-fit (exact non-splitting first-fit is a stateful
+    sequential scan; this is the standard offset variant, and the
+    ``offset_in_bin`` column tells the writer exactly where the spill is).
+
+    Scale posture: shard = md5-bucket of the id, so the window
+    (``partitionBy shard orderBy id``) runs as num_shards independent sorted
+    partitions — ONE hash shuffle, no global sort, no single-reducer window
+    (the partition_boundaries lesson). Everything is built-ins over an
+    engine-portable hash, so DuckDB replays it exactly.
+
+    Output: (id, shard, bin_id, offset_in_bin, n_tokens).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % num_shards
+    ).alias("shard")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(
+        F.sum(F.col(token_col)).over(w), F.lit(0).cast("long")
+    )
+    return (
+        df.select(F.col(id_col), F.col(token_col), shard)
+        .select(
+            F.col(id_col).alias("id"),
+            "shard",
+            F.floor(cum_excl / F.lit(budget)).cast("long").alias("bin_id"),
+            (cum_excl % F.lit(budget)).cast("long").alias("offset_in_bin"),
+            F.col(token_col).cast("long").alias("n_tokens"),
+        )
+    )

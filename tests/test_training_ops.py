@@ -544,3 +544,198 @@ def test_dedup_clusters_end_to_end(spark):
     assert not rows[2]["is_canonical"] and not rows[3]["is_canonical"]
     assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 1
     assert rows[4]["is_canonical"]
+
+
+def test_decontaminate_overlap_counts_and_threshold(spark):
+    """Known shingle overlaps: doc sharing >= min_overlap distinct 3-grams
+    with a benchmark doc is flagged with exact (n_overlap, overlap_frac);
+    a doc sharing only one shingle is NOT flagged at min_overlap=2."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], ["bench_id", "text"]
+    )  # 4 distinct 3-gram shingles
+    docs = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox" -> flagged
+            (1, "see the quick brown fox run"),
+            # shares only "jumps high <pad>"? no — shares zero 3-grams
+            (2, "completely unrelated words entirely different text"),
+            # shares exactly one shingle ("fox jumps high") -> below threshold
+            (3, "a red fox jumps high"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = decontaminate(
+        docs, bench, "doc_id", "text", "bench_id", "text", k=3, min_overlap=2
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 1 and r["bench_id"] == 100
+    assert r["n_overlap"] == 2 and r["bench_ngrams"] == 4
+    assert r["overlap_frac"] == 0.5
+
+    # min_overlap=1 also surfaces doc 3's single shared shingle
+    ids = {
+        (r["doc_id"], r["n_overlap"])
+        for r in decontaminate(
+            docs, bench, "doc_id", "text", "bench_id", "text",
+            k=3, min_overlap=1,
+        ).collect()
+    }
+    assert ids == {(1, 2), (3, 1)}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The 100-TB posture: the corpus-shingle stream must never shuffle —
+    both benchmark joins are broadcast, so the only exchange in the plan
+    is the hit aggregation."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], ["bench_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "see the quick brown fox run")], ["doc_id", "text"]
+    )
+    plan = (
+        decontaminate(docs, bench, "doc_id", "text", "bench_id", "text", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_group_coherent_deterministic(spark):
+    """hash_split must (a) assign every row keyed on conv_id the same split
+    as every other row of that conv (leakage guard), (b) be identical across
+    repeated runs and partitionings, (c) approximate the weights, and (d)
+    never migrate existing rows when new data is appended."""
+    from professional_services_data_validator_spark.operators.sampling import (
+        hash_split,
+    )
+
+    rows = [(f"c{i}", t) for i in range(300) for t in range(3)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx"])
+    out = hash_split(
+        df, ["conv_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per_conv = (
+        out.groupBy("conv_id")
+        .agg({"split": "count"})
+        .count()
+    )
+    distinct_pairs = out.select("conv_id", "split").distinct().count()
+    assert distinct_pairs == 300 == per_conv  # one split per conv
+
+    frac = {
+        r["split"]: r["n"] / 900
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.7 < frac["train"] < 0.9
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+
+    again = {
+        (r["conv_id"], r["turn_idx"]): r["split"]
+        for r in hash_split(
+            df.repartition(7), ["conv_id"],
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    first = {(r["conv_id"], r["turn_idx"]): r["split"] for r in out.collect()}
+    assert first == again
+
+    # append stability: the original rows keep their assignment
+    bigger = spark.createDataFrame(
+        rows + [(f"x{i}", 0) for i in range(100)], ["conv_id", "turn_idx"]
+    )
+    grown = {
+        (r["conv_id"], r["turn_idx"]): r["split"]
+        for r in hash_split(
+            bigger, ["conv_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+        if not r["conv_id"].startswith("x")
+    }
+    assert grown == first
+
+
+def test_hash_split_no_shuffle_and_seed_sensitivity(spark):
+    """Map-only projection: no Exchange in the plan; a different seed gives
+    a different (but still valid) assignment for at least one key."""
+    from professional_services_data_validator_spark.operators.sampling import (
+        hash_split,
+    )
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    out = hash_split(df, ["k"], {"a": 0.5, "b": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    s1 = {r["k"]: r["split"] for r in out.collect()}
+    s2 = {
+        r["k"]: r["split"]
+        for r in hash_split(df, ["k"], {"a": 0.5, "b": 0.5}, seed=7).collect()
+    }
+    assert s1 != s2
+    assert set(s2.values()) <= {"a", "b"}
+
+
+def test_pack_sequences_offset_binning(spark):
+    """Within one shard, docs laid end-to-end in id order: bin_id is the
+    budget-quotient of the exclusive prefix sum, offset_in_bin its
+    remainder; bins fill to the budget with at most one straddling doc."""
+    from professional_services_data_validator_spark.operators.text import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([40, 30, 40, 50, 10])],
+        ["doc_id", "n_tokens"],
+    )
+    rows = {
+        r["id"]: r
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", budget=100, num_shards=1
+        ).collect()
+    }
+    # prefix sums: 0, 40, 70, 110, 160
+    assert [rows[i]["bin_id"] for i in range(5)] == [0, 0, 0, 1, 1]
+    assert [rows[i]["offset_in_bin"] for i in range(5)] == [0, 40, 70, 10, 60]
+    assert all(r["shard"] == rows[0]["shard"] for r in rows.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_pack_sequences_sharded_parallel_windows(spark):
+    """Sharding must split the window into independent partitions (no
+    single-reducer global window) while keeping every doc assigned exactly
+    once and per-shard offsets consistent."""
+    from professional_services_data_validator_spark.operators.text import (
+        pack_sequences,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tokens")
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=256, num_shards=8)
+    rows = out.collect()
+    assert len(rows) == 1000 and len({r["id"] for r in rows}) == 1000
+    shards = {r["shard"] for r in rows}
+    assert shards <= set(range(8)) and len(shards) > 1
+    # replay each shard's cumsum on the driver and compare
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["id"])):
+        cum = by_shard.get(r["shard"], 0)
+        assert r["bin_id"] == cum // 256 and r["offset_in_bin"] == cum % 256
+        by_shard[r["shard"]] = cum + r["n_tokens"]
+    # plan: the window sort is preceded by a hash exchange on shard, not a
+    # single-partition exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
