@@ -1811,8 +1811,69 @@ ORDER BY doc_id, bench_id
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end curation: per-doc keep/drop verdicts over the
+    training corpus — keep = canonical near-dup representative AND not
+    contaminated by the eval set AND quality >= 0.55. Composes
+    dedup_clusters (LSH -> connected components), decontaminate (broadcast
+    n-gram overlap), and quality_score (single-pass built-ins); the DuckDB
+    oracle replays the WHOLE pipeline including the iterative component
+    resolution. This is the query a training-data pipeline runs nightly."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        decontaminate,
+        dedup_clusters,
+    )
+    from professional_services_data_validator_spark.operators.text import (
+        quality_score,
+    )
+
+    docs = spark.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    clusters = dedup_clusters(
+        corpus, "doc_id", "text", k=2, num_hashes=8, bands=4, threshold=0.5
+    )
+    contam = (
+        decontaminate(
+            corpus, bench, "doc_id", "text", "bench_id", "text",
+            k=3, min_overlap=2,
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    qual = quality_score(corpus, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "quality_score"
+    )
+    contaminated = F.coalesce(
+        F.col("is_contaminated"), F.lit(False)
+    ).alias("is_contaminated")
+    return (
+        clusters.join(contam, "doc_id", "left")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "is_canonical",
+            contaminated,
+            "quality_score",
+            (
+                F.col("is_canonical")
+                & ~F.coalesce(F.col("is_contaminated"), F.lit(False))
+                & (F.col("quality_score") >= 0.55)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _TRAINING_QUERIES.update(
     {
+        "corpus_curation": q_corpus_curation,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
@@ -1823,8 +1884,132 @@ _TRAINING_QUERIES.update(
         "media_metadata": q_media_metadata,
     }
 )
+# Replays the whole curation pipeline: LSH dedup (k=2 shingles, 8 hashes,
+# 4 bands, j>=0.5) -> recursive-CTE component resolution -> contamination
+# (k=3, >=2 shared shingles vs the bench split) -> quality features -> the
+# final keep verdict. Same params as q_corpus_curation.
+_SQL_CORPUS_CURATION = """
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0),
+bench AS (SELECT doc_id AS bench_id, text FROM documents
+          WHERE doc_id % 37 = 0),
+toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
+         FROM corpus),
+sh AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+sig AS (
+  SELECT id,
+    {mins}
+  FROM sh GROUP BY id),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+clus AS (
+  SELECT doc_id, cluster_id,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+    (doc_id = cluster_id) AS is_canonical
+  FROM comp),
+csh3 AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+btoks AS (SELECT bench_id AS id, regexp_split_to_array(trim(text), ' +') AS t
+          FROM bench),
+bsh3 AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM btoks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT c.id AS doc_id, b.id AS bench_id
+    FROM csh3 c JOIN bsh3 b ON b.shingle = c.shingle
+    GROUP BY c.id, b.id
+    HAVING count(*) >= 2)),
+qbase AS (
+  SELECT doc_id AS id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), ' +')) END AS DOUBLE)
+      AS n_toks,
+    CAST(length(text)
+         - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+      AS n_punct,
+    regexp_split_to_array(trim(text), ' +') AS qtoks
+  FROM corpus),
+qfeats AS (
+  SELECT id, n_toks,
+    {stop_hits} AS stop_hits,
+    CASE WHEN n_toks > 0 THEN n_chars / n_toks ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio
+  FROM qbase),
+qf2 AS (
+  SELECT id,
+    CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END AS stop_ratio,
+    least(n_toks / 20.0, 1.0) AS length_term,
+    CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         THEN 1.0 ELSE 0.5 END AS wordlen_term,
+    1.0 - least(punct_ratio * 5, 0.5) AS punct_term
+  FROM qfeats),
+qual AS (
+  SELECT id,
+    round(length_term * wordlen_term * punct_term
+          * (0.5 + least(stop_ratio * 2, 0.5)), 6) AS quality_score
+  FROM qf2)
+SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, cl.is_canonical,
+  (ct.doc_id IS NOT NULL) AS is_contaminated,
+  q.quality_score,
+  (cl.is_canonical AND ct.doc_id IS NULL AND q.quality_score >= 0.55) AS keep
+FROM clus cl
+LEFT JOIN contam ct ON ct.doc_id = cl.doc_id
+JOIN qual q ON q.id = cl.doc_id
+ORDER BY cl.doc_id
+""".format(
+    mins=",\n    ".join(
+        f"min(md5('{j}|' || shingle)) AS mh_{j}" for j in range(8)
+    ),
+    bands="\n  UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, "
+        "md5(concat_ws('|', mh_{r0}, mh_{r1})) AS band_hash FROM sig".format(
+            b=b, r0=b * 2, r1=b * 2 + 1
+        )
+        for b in range(4)
+    ),
+    stop_hits="CAST(len(list_filter(qtoks, t -> t IN ({lits}))) AS DOUBLE)"
+    .format(lits=", ".join(f"'{w}'" for w in _STOPS)),
+)
+
+
 _TRAINING_ORACLES.update(
     {
+        "corpus_curation": _SQL_CORPUS_CURATION,
         "decontaminate": _SQL_DECONTAMINATE,
         "hash_split": _hash_split_oracle_sql(),
         "pack_sequences": _SQL_PACK_SEQUENCES,

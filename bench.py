@@ -43,6 +43,7 @@ HEADLINE = [
 # tables); reported under "training_queries" so the headline metric keeps
 # round-over-round continuity.
 TRAINING_BENCH = [
+    "corpus_curation",
     "decontaminate",
     "dedup_clusters",
     "lsh_dedup_pairs",

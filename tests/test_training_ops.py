@@ -739,3 +739,26 @@ def test_pack_sequences_sharded_parallel_windows(spark):
     # single-partition exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_corpus_curation_verdict_composition(spark, sf_dir):
+    """The flagship composition's keep flag must equal the conjunction of
+    its three published criteria row-by-row, cover exactly the corpus
+    split, and have every filter actually firing on the fixture."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["corpus_curation"](spark, sf_dir).collect()
+    n_corpus = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 37 != 0).count()
+    )
+    assert len(rows) == n_corpus
+    for r in rows:
+        assert r["keep"] == (
+            r["is_canonical"]
+            and not r["is_contaminated"]
+            and r["quality_score"] >= 0.55
+        )
+    assert any(not r["is_canonical"] for r in rows)
+    assert any(r["is_contaminated"] for r in rows)
+    assert any(r["quality_score"] < 0.55 for r in rows)
+    assert any(r["keep"] for r in rows)
