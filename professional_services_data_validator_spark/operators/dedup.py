@@ -498,13 +498,25 @@ def decontaminate(
     Scale posture (100 TB corpus vs MB-scale benchmark): the benchmark
     shingle set is tiny by construction (eval sets are thousands of docs),
     so BOTH joins broadcast the benchmark side — the exploded corpus-shingle
-    stream (rows ~ corpus tokens) is consumed map-side and never shuffles;
-    the only exchange is the groupBy on matched (doc, bench) pairs, which
-    carries hits only (rare by definition). Everything is built-in
-    functions on md5-free plain-string shingles, so the pipeline has an
-    exact DuckDB oracle.
+    stream (rows ~ corpus tokens) is consumed map-side and never shuffles.
+    Deliberately NOT reusing ``shingles()`` on the corpus side: its
+    ``.distinct()`` would hash-shuffle the whole exploded stream; instead
+    duplicates are tolerated through the broadcast join and collapsed by a
+    ``countDistinct`` whose partial aggregation dedups map-side — the only
+    exchanges carry matched (doc, bench, shingle) hit rows, rare by
+    definition. Everything is built-in functions on md5-free plain-string
+    shingles, so the pipeline has an exact DuckDB oracle.
     """
-    doc_sh = shingles(docs, doc_id, text_col, k=k)
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - F.lit(k), F.lit(0))
+    )
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    doc_sh = docs.select(
+        F.col(doc_id).alias("id"), F.explode(grams).alias("shingle")
+    )
     bench_sh = shingles(benchmark, bench_id, bench_text, k=k).select(
         F.col("id").alias("__bench_id"), "shingle"
     )
@@ -514,7 +526,7 @@ def decontaminate(
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("id", "__bench_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("shingle").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
     return hits.join(F.broadcast(bench_sizes), "__bench_id").select(

@@ -98,6 +98,48 @@ NOTES = {
         "frames join with a tiny exchange; at 100 TB the expensive PK "
         "shuffle runs only for the partitions this plan flags."
     ),
+    "decontaminate": (
+        "Benchmark decontamination: the eval-set shingles are broadcast to "
+        "BOTH joins (hits and sizes), so the exploded corpus-shingle stream "
+        "— the only O(data) relation — is consumed map-side and never "
+        "shuffles. The single exchange aggregates matched (doc, bench) "
+        "pairs, rare by definition. Overlap dedup happens POST-join "
+        "(countDistinct with map-side partial dedup of matched triples) — "
+        "a pre-join corpus .distinct() would shuffle the whole stream. "
+        "Plan must show BroadcastHashJoin only; a SortMergeJoin here would "
+        "shuffle O(corpus tokens)."
+    ),
+    "hash_split": (
+        "Deterministic train/val/test split: md5 hex-prefix compared against "
+        "literal hex thresholds in a string CASE — a map-only Project with "
+        "zero Exchange, fully inside whole-stage codegen. At 100 TB this is "
+        "a free rider on whatever scan already runs."
+    ),
+    "pack_sequences": (
+        "Sequence packing: ONE hash exchange on the md5 shard key, then "
+        "per-shard sorted windows compute exclusive prefix sums "
+        "(num_shards independent partitions — no global sort, no "
+        "SinglePartition window). bin_id/offset are projections of the "
+        "cumsum. At 100 TB: shards scale with the cluster; the window state "
+        "is one running sum per shard."
+    ),
+    "dedup_clusters": (
+        "Near-dup cluster resolution: LSH candidate pairs (bucketed "
+        "equi-join, see lsh_dedup_pairs) feed iterative min-label "
+        "propagation — per round one O(E) message shuffle + one O(V) min "
+        "aggregate, lineage cut by localCheckpoint so round k never replays "
+        "rounds 1..k-1. Only edge-incident nodes loop; singletons join back "
+        "at the end (the 100-TB fast path: most docs are singletons). The "
+        "printed plan is the final label join over the checkpointed RDD; "
+        "the loop's cost model is rounds ~= dup-group diameter (2-4)."
+    ),
+    "corpus_curation": (
+        "Flagship composition: cluster labels (above) LEFT JOIN broadcast "
+        "contamination verdicts JOIN single-pass quality features. The "
+        "only O(rows)-carrying exchanges are the dedup pipeline's; "
+        "contamination and quality add a broadcast and a map-side project "
+        "respectively. Verdict is a pure projection."
+    ),
     "srp_embedding_near_pairs": (
         "SRP LSH near-dup: 16 literal-array dot-product folds per row "
         "(whole-stage codegen, no Python, no shuffle) -> signature chunk "

@@ -608,6 +608,32 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # overlap dedup happens POST-join via countDistinct (map-side partial
+    # dedup of matched triples) — a pre-join corpus .distinct() would put an
+    # Exchange carrying the whole exploded corpus-shingle stream between the
+    # corpus Generate and its join. Walk the corpus Generate's ancestors:
+    # the first join above it must be a BroadcastHashJoin with NO Exchange
+    # in between.
+    assert "partial_count(distinct shingle" in plan
+    lines = plan.splitlines()
+    gen_i = next(
+        i for i, l in enumerate(lines)
+        if "Generate explode" in l and "[doc_id" in l
+    )
+
+    def _depth(line):
+        p = line.find("+-")
+        return p if p >= 0 else -1
+
+    d = _depth(lines[gen_i])
+    for line in reversed(lines[:gen_i]):
+        dl = _depth(line)
+        if dl < d:  # ancestor
+            d = dl
+            assert "Exchange" not in line, f"corpus stream shuffles: {line}"
+            if "Join" in line:
+                assert "BroadcastHashJoin" in line
+                break
 
 
 def test_hash_split_group_coherent_deterministic(spark):
