@@ -1759,6 +1759,46 @@ FROM c ORDER BY id
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per lang, smallest
+    md5(seed|doc_id) first. The two-pass threshold prefilter keeps the
+    per-group window sort at O(n) survivors regardless of group size; the
+    oracle replays the identical threshold, so parity is exact."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    return (
+        stratified_sample(
+            spark.table("documents"), "lang", ["doc_id"], n_per_group=20,
+        )
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+h AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) AS hv
+  FROM documents),
+pre AS (
+  SELECT h.doc_id, h.lang, hv
+  FROM h JOIN cnt USING (lang)
+  WHERE hv < least(1.0, 80.0 / c) * 4294967296.0),
+r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+      AS sample_rank
+  FROM pre)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing >= 2 distinct word
     3-gram shingles with any 'benchmark' doc (docs with doc_id % 37 == 0
@@ -1877,6 +1917,7 @@ _TRAINING_QUERIES.update(
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
         "lsh_dedup_pairs": q_lsh_dedup,
         "simhash_near_pairs": q_simhash_near,
@@ -2013,6 +2054,7 @@ _TRAINING_ORACLES.update(
         "decontaminate": _SQL_DECONTAMINATE,
         "hash_split": _hash_split_oracle_sql(),
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "lsh_dedup_pairs": _SQL_LSH_DEDUP,
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,

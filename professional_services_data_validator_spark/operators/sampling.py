@@ -98,3 +98,70 @@ def split_thresholds(weights: dict[str, float]) -> list[str]:
         cum += weights[name] / total
         out.append(format(min(int(round(cum * 16**8)), 16**8 - 1), "08x"))
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    keys: list[str],
+    n_per_group: int,
+    seed: int = 42,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Deterministic stratified sample: the n rows with the smallest
+    md5(seed|keys) hash per group — per-group reservoir sampling without the
+    irreproducibility (same rows on any engine/partitioning/run, stable
+    under reruns; no reference analog — BASELINE training-pipeline
+    extension, complements [hash_split]).
+
+    Scale posture: a naive per-group ``row_number`` window sorts EVERY row
+    of every group. With ``prefilter`` (default), a first aggregate counts
+    each group, and rows are pre-filtered to hash < (3n+20)/count — the
+    expected survivor set is ~3n+20 rows per group, so the window sorts
+    O(n) rows regardless of group size. The shortfall probability (fewer
+    than n survivors, giving a short sample for that group) is
+    P[Poisson(3n+20) < n] < e^-20 per group. Both passes are deterministic,
+    so an oracle replaying the same threshold matches exactly, shortfall or
+    not. The counts frame is broadcast (group cardinality = langs/sources/
+    days — small by construction).
+
+    Output: input columns + ``sample_rank`` (1..n within group, ordered by
+    hash then keys).
+    """
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    *[F.col(k).cast("string") for k in keys],
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    base = df.withColumn("__h", hv)
+    if prefilter:
+        cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+        f = F.least(
+            F.lit(1.0), F.lit(3.0 * n_per_group + 20) / F.col("__cnt")
+        )
+        base = (
+            base.join(F.broadcast(cnt), group_col)
+            .filter(F.col("__h") < f * F.lit(float(16**8)))
+            .drop("__cnt")
+        )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__h"), *[F.col(k) for k in keys])
+    )
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+        .drop("__h")
+    )

@@ -249,3 +249,76 @@ def foreachBatch_validate(reference_df: DataFrame, lineage_store=None,
             verdicts.collect()
 
     return _fn
+
+
+DEDUP_OUTPUT_SCHEMA = (
+    "text_hash string, conv_id string, turn_idx long, n_prior long"
+)
+_DEDUP_STATE_SCHEMA = "n_seen long"
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming exact-dedup REPORTER via ``applyInPandasWithState``: emit
+    every duplicate-text occurrence as it arrives, keeping O(1) state per
+    distinct text (a seen-counter keyed by md5(text)).
+
+    The batch twin is operators.dedup.exact_dedup; Spark's built-in
+    streaming ``dropDuplicates`` silently keeps firsts, but a validation
+    engine must REPORT the drops — (who, when, how many priors) — which
+    needs custom state. Semantics: first arrival is the keeper; within one
+    microbatch (set-wise, arrival order is shuffle-nondeterministic) the
+    smallest (conv_id, turn_idx) is the deterministic keeper and the rest
+    are emitted with ``n_prior`` = how many occurrences preceded them.
+
+    State scale at 10^12 turns: one counter per distinct text, expired
+    after ``timeout_ms`` of inactivity — the same bounded-state posture as
+    the turn-order monitor (dup detection beyond the timeout horizon is the
+    batch job's responsibility; the stream catches the hot/recent dups).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (n_seen,) = state.get if state.exists else (0,)
+        rows = []
+        for pdf in pdf_iter:
+            batch = sorted(
+                zip(pdf[conv_col], pdf[turn_col].astype("int64"))
+            )
+            for conv, turn in batch:
+                if n_seen > 0:
+                    rows.append((key[0], conv, int(turn), int(n_seen)))
+                n_seen += 1
+        state.update((n_seen,))
+        state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["text_hash", "conv_id", "turn_idx", "n_prior"],
+            )
+
+    return (
+        stream.select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            F.col(conv_col).alias(conv_col),
+            F.col(turn_col).cast("long").alias(turn_col),
+        )
+        .groupBy("text_hash")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

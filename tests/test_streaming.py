@@ -204,3 +204,53 @@ def test_foreachbatch_reuses_batch_operators(spark, transcripts):
         lineage = store.read().collect()
         assert len(lineage) >= 1
         assert all(r.verdict == "success" for r in lineage)
+
+
+def test_stream_exact_dedup_reports_duplicates(spark):
+    """Seen-counter state persists across microbatches: the first arrival
+    of a text is never reported; later arrivals are, with n_prior counting
+    every earlier occurrence; within a batch the smallest (conv, turn) is
+    the keeper."""
+    import os
+
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_exact_dedup,
+    )
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
+        src = d + "/turns"
+        os.makedirs(src)
+        batch1 = spark.createDataFrame(
+            [("a", 0, "hello"), ("a", 1, "hello"), ("b", 0, "unique1")],
+            "conv_id string, turn_idx long, text string",
+        )
+        batch2 = spark.createDataFrame(
+            [("c", 7, "hello"), ("c", 8, "unique2")],
+            "conv_id string, turn_idx long, text string",
+        )
+        batch1.coalesce(1).write.parquet(src + "/f=1")
+        batch2.coalesce(1).write.parquet(src + "/f=2")
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        q = (
+            stream_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        got = {
+            (r.conv_id, r.turn_idx): r.n_prior
+            for r in spark.table("dedup_out").collect()
+        }
+        # batch1: ("a", 0) is the in-batch keeper of "hello"; ("a", 1) is
+        # its duplicate with one prior. batch2: ("c", 7) repeats "hello"
+        # with TWO priors (state crossed the microbatch). Uniques silent.
+        assert got == {("a", 1): 1, ("c", 7): 2}
