@@ -392,10 +392,16 @@ def connected_components(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # round-0 fold: start from min(own id, min neighbor id) — one aggregate
+    # over the (already symmetric) edge list replaces a whole propagation
+    # round, so near-clique dup groups usually converge in 1-2 loop rounds
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select("src", F.col("src").alias("dst")).distinct()
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("lbl"))
         .localCheckpoint()
     )
     converged = False
