@@ -2333,10 +2333,64 @@ ORDER BY id_a, id_b
 """
 
 
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side near-dup CLUSTERS: SRP candidate pairs (same params
+    as srp_embedding_near_pairs) -> connected components -> per-vector
+    (cluster_id, cluster_size, is_canonical) — the embedding twin of
+    dedup_clusters, sharing the same component-resolution operator."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        cluster_assignments,
+        connected_components,
+    )
+    from professional_services_data_validator_spark.operators.similarity import (
+        srp_near_pairs,
+    )
+
+    emb = spark.table("embeddings")
+    pairs = srp_near_pairs(
+        emb, bits=16, seed=42, max_hamming=3, min_cosine=0.2
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    return cluster_assignments(comp, "vec_id").orderBy("vec_id")
+
+
+def _embedding_cluster_oracle_sql() -> str:
+    """SRP CTE chain (identical params to _srp_oracle_sql) + the recursive
+    component resolution — the same literal-planes trick, extended with the
+    dedup_clusters recursion."""
+    base = _srp_oracle_sql()
+    head, tail = base.rsplit("SELECT id_a, id_b, hamming,", 1)
+    assert "ORDER BY" in tail
+    return (
+        "WITH RECURSIVE "
+        + head.strip()[len("WITH "):]
+        + """,
+pairs AS (
+  SELECT id_a, id_b FROM verified WHERE hamming <= 3 AND cos >= 0.2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT vec_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  (vec_id = cluster_id) AS is_canonical
+FROM comp ORDER BY vec_id
+"""
+    )
+
+
 _TRAINING_QUERIES["tfidf_top_terms"] = q_tfidf
 _TRAINING_ORACLES["tfidf_top_terms"] = _SQL_TFIDF
 _TRAINING_QUERIES["srp_embedding_near_pairs"] = q_srp_near
 _TRAINING_ORACLES["srp_embedding_near_pairs"] = _srp_oracle_sql()
+_TRAINING_QUERIES["embedding_dedup_clusters"] = q_embedding_dedup_clusters
+_TRAINING_ORACLES["embedding_dedup_clusters"] = _embedding_cluster_oracle_sql()
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -469,6 +469,14 @@ def dedup_clusters(
         threshold=threshold,
     )
     comp = connected_components(pairs, df.select(id_col), id_col=id_col)
+    return cluster_assignments(comp, id_col)
+
+
+def cluster_assignments(comp: DataFrame, id_col: str) -> DataFrame:
+    """Decorate (id, cluster_id) component labels with cluster_size and the
+    deterministic canonical flag (min id of the cluster is the keeper).
+    The window partitions by cluster_id — clusters are small by
+    construction in dedup graphs, so no skewed-window hazard."""
     w = Window.partitionBy("cluster_id")
     return comp.select(
         F.col("id").alias(id_col),

@@ -848,3 +848,22 @@ def test_stratified_sample_prefilter_bounds_window_input(spark):
         < (35.0 / 10000) * float(16**8)
     ).count()
     assert surv < 400  # ~70 expected; the window never sees the full groups
+
+
+def test_embedding_dedup_clusters_invariants(spark, sf_dir):
+    """Embedding-side clustering composition: every vector assigned once,
+    exactly one canonical (= min vec_id) per cluster, sizes consistent."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["embedding_dedup_clusters"](
+        spark, sf_dir
+    ).collect()
+    n = _emb(spark, sf_dir).count()
+    assert len(rows) == n
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster_id"], []).append(r)
+    for cid, grp in by_c.items():
+        assert min(x["vec_id"] for x in grp) == cid
+        assert sum(x["is_canonical"] for x in grp) == 1
+        assert all(x["cluster_size"] == len(grp) for x in grp)
