@@ -33,6 +33,11 @@ Three entry styles (all through ``main``):
     # 5. pair up source/target tables by name similarity (:343-360):
     psdv-spark find-tables --table orders=/a --table orders_v2=/b
 
+    # 6. training-data curation pipeline (BASELINE extension, no reference
+    #    analog — the corpus_curation composition as a job):
+    psdv-spark curate --docs-path corpus/ --bench-path evalset/ \
+        --quality-min 0.55 --keep-only --output curated/
+
 Cluster usage:
     ./package.sh                         # builds dist/psdv_spark.zip
     spark-submit --py-files dist/psdv_spark.zip \
@@ -309,6 +314,34 @@ def build_parser() -> argparse.ArgumentParser:
         "the session catalog",
     )
     ft.add_argument("--score-cutoff", type=float, default=0.8)
+
+    # curate: the training-data curation pipeline as a job (no reference
+    # analog — BASELINE training-pipeline extension; same composition as
+    # the corpus_curation contract query)
+    cur = sub.add_parser(
+        "curate",
+        help="per-doc keep/drop verdicts: near-dup canonical AND not "
+        "eval-contaminated AND quality >= threshold",
+    )
+    cur.add_argument("--docs-path", required=True, help="corpus parquet")
+    cur.add_argument("--id-col", default="doc_id")
+    cur.add_argument("--text-col", default="text")
+    cur.add_argument("--bench-path", default=None,
+                     help="eval/benchmark parquet (skip = no contamination "
+                     "check)")
+    cur.add_argument("--bench-id-col", default="doc_id")
+    cur.add_argument("--bench-text-col", default="text")
+    cur.add_argument("--quality-min", type=float, default=0.55)
+    cur.add_argument("--dedup-shingle-k", type=int, default=3)
+    cur.add_argument("--minhash-num", type=int, default=16)
+    cur.add_argument("--minhash-bands", type=int, default=4)
+    cur.add_argument("--dedup-threshold", type=float, default=0.5)
+    cur.add_argument("--contam-k", type=int, default=8)
+    cur.add_argument("--contam-min-overlap", type=int, default=1)
+    cur.add_argument("--keep-only", action="store_true",
+                     help="emit only the kept docs instead of all verdicts")
+    cur.add_argument("--output", default=None,
+                     help="parquet output dir (omit = print summary only)")
     return top
 
 
@@ -715,6 +748,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_generate_partitions(args)
     if args.command == "find-tables":
         return _run_find_tables(args)
+    if args.command == "curate":
+        return _run_curate(args)
     if args.command == "validate":
         cfg_dict = _config_dict_from_flags(args)
         if args.config_file or args.config_file_json:
@@ -951,3 +986,78 @@ def _execute_job(args: argparse.Namespace, cfg_dict: dict) -> int:
 
 if __name__ == "__main__":  # pragma: no cover
     sys.exit(main())
+
+
+def _run_curate(args: argparse.Namespace) -> int:
+    """Training-data curation job: dedup_clusters [+ decontaminate]
+    + quality_score -> per-doc verdict frame (the corpus_curation
+    composition with configurable inputs). Exit code 0 always — drops are
+    the expected product, not failures."""
+    from .operators.dedup import decontaminate, dedup_clusters
+    from .operators.text import quality_score
+    from .session import get_spark
+
+    spark = get_spark("psdv-curate")
+    docs = spark.read.parquet(args.docs_path)
+    idc, txt = args.id_col, args.text_col
+    verdicts = dedup_clusters(
+        docs, idc, txt,
+        k=args.dedup_shingle_k,
+        num_hashes=args.minhash_num,
+        bands=args.minhash_bands,
+        threshold=args.dedup_threshold,
+    )
+    if args.bench_path:
+        bench = spark.read.parquet(args.bench_path)
+        contam = (
+            decontaminate(
+                docs, bench, idc, txt,
+                args.bench_id_col, args.bench_text_col,
+                k=args.contam_k, min_overlap=args.contam_min_overlap,
+            )
+            .select(idc)
+            .distinct()
+            .withColumn("is_contaminated", F.lit(True))
+        )
+        verdicts = verdicts.join(contam, idc, "left")
+    else:
+        verdicts = verdicts.withColumn("is_contaminated", F.lit(False))
+    qual = quality_score(docs, idc, txt).select(
+        F.col("id").alias(idc), "quality_score"
+    )
+    contaminated = F.coalesce(F.col("is_contaminated"), F.lit(False))
+    verdicts = verdicts.join(qual, idc).select(
+        idc,
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+        contaminated.alias("is_contaminated"),
+        "quality_score",
+        (
+            F.col("is_canonical")
+            & ~contaminated
+            & (F.col("quality_score") >= args.quality_min)
+        ).alias("keep"),
+    )
+    if args.keep_only:
+        verdicts = verdicts.filter(F.col("keep"))
+    # one execution for both the sink and the summary
+    verdicts = verdicts.persist()
+    try:
+        if args.output:
+            verdicts.write.mode("overwrite").parquet(args.output)
+        total = verdicts.count()
+        kept = verdicts.filter(F.col("keep")).count()
+        dup = verdicts.filter(~F.col("is_canonical")).count()
+        contam_n = verdicts.filter(F.col("is_contaminated")).count()
+        lowq = verdicts.filter(
+            F.col("quality_score") < args.quality_min
+        ).count()
+        print(
+            f"curate: {total} docs -> keep {kept} "
+            f"(drop: {dup} near-dup, {contam_n} contaminated, "
+            f"{lowq} below quality {args.quality_min})"
+        )
+    finally:
+        verdicts.unpersist()
+    return 0

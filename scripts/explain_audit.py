@@ -133,6 +133,21 @@ NOTES = {
         "printed plan is the final label join over the checkpointed RDD; "
         "the loop's cost model is rounds ~= dup-group diameter (2-4)."
     ),
+    "stratified_sample": (
+        "Per-group top-n by hash with the two-pass threshold prefilter: "
+        "pass 1 is a partial-agg'd group count (broadcast back), pass 2 "
+        "filters to hash < (3n+20)/count BEFORE the window, so the "
+        "per-group sort sees O(n) survivors — a naive rank-then-filter "
+        "window would sort every row of every group. Shortfall probability "
+        "is < e^-20 per group and the behavior is deterministic either way."
+    ),
+    "embedding_dedup_clusters": (
+        "Embedding twin of dedup_clusters: SRP chunk-bucketed candidate "
+        "pairs feed the same min-label-propagation loop; the printed plan "
+        "is the final label join, the loop cost model is identical "
+        "(O(E) shuffle + O(V) min per round, round-0 folded into the "
+        "min-neighbor initialization)."
+    ),
     "corpus_curation": (
         "Flagship composition: cluster labels (above) LEFT JOIN broadcast "
         "contamination verdicts JOIN single-pass quality features. The "

@@ -283,3 +283,66 @@ def test_report_format_csv_json(spark, capsys):
         main(base + ["--format", "csv"])
         out = capsys.readouterr().out
         assert "validation_name,validation_type" in out
+
+
+def test_cli_curate_matches_contract_composition(spark, tmp_path):
+    """`psdv-spark curate` with the contract query's parameters must emit
+    verdicts identical to q_corpus_curation (same %37 corpus/bench split),
+    and --keep-only must emit exactly the kept subset."""
+    import __spark_entry__ as entry
+    from professional_services_data_validator_spark.cli import main
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus_p = str(tmp_path / "corpus")
+    bench_p = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") % 37 != 0).write.parquet(corpus_p)
+    (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+        .write.parquet(bench_p)
+    )
+    out_p = str(tmp_path / "verdicts")
+    rc = main([
+        "curate",
+        "--docs-path", corpus_p,
+        "--bench-path", bench_p,
+        "--bench-id-col", "bench_id",
+        "--dedup-shingle-k", "2", "--minhash-num", "8",
+        "--minhash-bands", "4", "--dedup-threshold", "0.5",
+        "--contam-k", "3", "--contam-min-overlap", "2",
+        "--quality-min", "0.55",
+        "--output", out_p,
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]: (
+            r["cluster_id"], r["cluster_size"], r["is_canonical"],
+            r["is_contaminated"], r["quality_score"], r["keep"],
+        )
+        for r in spark.read.parquet(out_p).collect()
+    }
+    want = {
+        r["doc_id"]: (
+            r["cluster_id"], r["cluster_size"], r["is_canonical"],
+            r["is_contaminated"], r["quality_score"], r["keep"],
+        )
+        for r in entry.queries()["corpus_curation"](spark, sf).collect()
+    }
+    assert got == want
+
+    keep_p = str(tmp_path / "kept")
+    rc = main([
+        "curate",
+        "--docs-path", corpus_p,
+        "--bench-path", bench_p,
+        "--bench-id-col", "bench_id",
+        "--dedup-shingle-k", "2", "--minhash-num", "8",
+        "--minhash-bands", "4", "--dedup-threshold", "0.5",
+        "--contam-k", "3", "--contam-min-overlap", "2",
+        "--quality-min", "0.55",
+        "--keep-only", "--output", keep_p,
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(keep_p).collect()}
+    assert kept == {d for d, v in want.items() if v[5]}
