@@ -1039,13 +1039,17 @@ def _run_curate(args: argparse.Namespace) -> int:
             & (F.col("quality_score") >= args.quality_min)
         ).alias("keep"),
     )
-    if args.keep_only:
-        verdicts = verdicts.filter(F.col("keep"))
-    # one execution for both the sink and the summary
+    # one execution for the sink and the summary (summary always over the
+    # FULL verdict set, even under --keep-only)
     verdicts = verdicts.persist()
     try:
         if args.output:
-            verdicts.write.mode("overwrite").parquet(args.output)
+            out = (
+                verdicts.filter(F.col("keep"))
+                if args.keep_only
+                else verdicts
+            )
+            out.write.mode("overwrite").parquet(args.output)
         total = verdicts.count()
         kept = verdicts.filter(F.col("keep")).count()
         dup = verdicts.filter(~F.col("is_canonical")).count()
