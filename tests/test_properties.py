@@ -150,3 +150,125 @@ def test_where_clauses_disjoint_exhaustive(spark, keys, n_parts):
     for r in marked:
         hits = sum(r[f"m{j}"] for j in range(len(clauses)))
         assert hits == 1, f"row {(r.k, r.i)} matched {hits} partitions"
+
+
+# --- connected components vs a driver-side union-find ---------------------
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]),
+        max_size=40,
+    ),
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a classic union-find on random
+    graphs — including chains, cycles, and forests, not just the near-clique
+    dedup shape it is optimized for."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = sorted({0, 31} | {x for e in edges for x in e})
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], ["id_a", "id_b"]
+    ).filter(F.col("id_a") != F.col("id_b"))
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, nodes_df, max_iter=40
+        ).collect()
+    }
+    assert got == _uf_components(edges, nodes)
+
+
+# --- hash_split: partition of the key space, proportional, stable ---------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.05, max_value=1.0), min_size=1, max_size=4
+    ),
+    seed=st.integers(min_value=0, max_value=99),
+)
+def test_hash_split_is_total_and_proportional(spark, weights, seed):
+    """Every row gets exactly one of the declared split names, and observed
+    fractions track normalized weights within a generous tolerance."""
+    from professional_services_data_validator_spark.operators.sampling import (
+        hash_split,
+    )
+
+    names = [f"s{i}" for i in range(len(weights))]
+    w = dict(zip(names, weights))
+    df = spark.range(1500).withColumnRenamed("id", "k")
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(df, ["k"], w, seed=seed)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(counts) <= set(names) and sum(counts.values()) == 1500
+    total = sum(weights)
+    for name, wt in w.items():
+        frac = counts.get(name, 0) / 1500
+        assert abs(frac - wt / total) < 0.12
+
+
+# --- pack_sequences: per-shard layout invariants ---------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=60
+    ),
+    budget=st.integers(min_value=1, max_value=400),
+)
+def test_pack_sequences_layout_invariants(spark, sizes, budget):
+    """For any doc sizes and budget: offsets/bins replay the exclusive
+    prefix sum exactly, offsets stay inside the budget, bin ids are
+    monotone in id order within a shard."""
+    from professional_services_data_validator_spark.operators.text import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(sizes)), ["doc_id", "n_tokens"]
+    )
+    rows = sorted(
+        pack_sequences(
+            df, "doc_id", "n_tokens", budget=budget, num_shards=3
+        ).collect(),
+        key=lambda r: (r["shard"], r["id"]),
+    )
+    cum = {}
+    last_bin = {}
+    for r in rows:
+        c = cum.get(r["shard"], 0)
+        assert r["bin_id"] == c // budget
+        assert r["offset_in_bin"] == c % budget
+        assert 0 <= r["offset_in_bin"] < budget
+        assert r["bin_id"] >= last_bin.get(r["shard"], 0)
+        last_bin[r["shard"]] = r["bin_id"]
+        cum[r["shard"]] = c + r["n_tokens"]
+    assert len(rows) == len(sizes)
