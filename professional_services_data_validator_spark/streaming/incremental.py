@@ -292,6 +292,9 @@ def stream_exact_dedup(
         (n_seen,) = state.get if state.exists else (0,)
         rows = []
         for pdf in pdf_iter:
+            # a group is ONE text-hash's occurrences within the batch —
+            # a handful of rows by construction (dup multiplicity), so the
+            # python sort is not a hot path the way per-turn work would be
             batch = sorted(
                 zip(pdf[conv_col], pdf[turn_col].astype("int64"))
             )
