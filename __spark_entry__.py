@@ -1799,6 +1799,46 @@ FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank
 """
 
 
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality: per-doc cross-entropy under the corpus's own
+    unigram distribution (two vocab-bounded aggregates over one token
+    explode; totals are two driver scalars). Oracle recomputes N/V as
+    scalar subqueries — identical integers — and the same smoothed -ln
+    average at 6dp."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        unigram_logperplexity,
+    )
+
+    return (
+        unigram_logperplexity(spark.table("documents"), "doc_id", "text")
+        .orderBy("id")
+    )
+
+
+_SQL_UNIGRAM_LOGPPL = """
+WITH toks AS (
+  SELECT doc_id AS id, t.token
+  FROM documents,
+    UNNEST(regexp_split_to_array(trim(text), ' +')) AS t(token)
+  WHERE length(t.token) > 0),
+counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM counts),
+scored AS (
+  SELECT id, count(*) AS n_tokens,
+    round(avg(-ln((c + 0.5) / (n + 0.5 * v))), 6) AS logppl
+  FROM toks JOIN counts USING (token) CROSS JOIN tot
+  GROUP BY id)
+SELECT d.doc_id AS id,
+  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+  s.logppl
+FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
+ORDER BY id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing >= 2 distinct word
     3-gram shingles with any 'benchmark' doc (docs with doc_id % 37 == 0
@@ -1918,6 +1958,7 @@ _TRAINING_QUERIES.update(
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "unigram_logppl": q_unigram_logppl,
         "dedup_clusters": q_dedup_clusters,
         "lsh_dedup_pairs": q_lsh_dedup,
         "simhash_near_pairs": q_simhash_near,
@@ -2055,6 +2096,7 @@ _TRAINING_ORACLES.update(
         "hash_split": _hash_split_oracle_sql(),
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "unigram_logppl": _SQL_UNIGRAM_LOGPPL,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "lsh_dedup_pairs": _SQL_LSH_DEDUP,
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,

@@ -311,3 +311,63 @@ def pack_sequences(
             F.col(token_col).cast("long").alias("n_tokens"),
         )
     )
+
+
+def unigram_logperplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    smoothing: float = 0.5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-doc cross-entropy under the corpus's OWN unigram distribution —
+    the CCNet-style LM-quality signal (docs whose tokens are improbable in
+    the corpus at large are boilerplate/garbled/foreign): logppl =
+    avg over token occurrences of -ln p(token), with additive smoothing
+    p(t) = (count_t + a) / (N + a*V). Perplexity = exp(logppl); the log
+    form is emitted because exp amplifies last-ulp engine differences.
+
+    Scale posture: two aggregates over one token explode — unigram counts
+    (bounded by VOCABULARY, not corpus) and the per-doc average. The corpus
+    totals (N, V) are two driver scalars (the centroid-collect precedent);
+    the vocab joins back broadcast by default (millions of rows at worst —
+    set ``broadcast_vocab=False`` to let AQE pick a shuffle join for
+    pathological vocabularies). No Python in the hot path; engine-portable
+    arithmetic, so the whole signal has an exact DuckDB oracle at 6dp.
+
+    Output: (id, n_tokens, logppl); docs with no tokens get NULL logppl.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("token"),
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    n_total, n_vocab = counts.agg(
+        F.sum("__c").cast("double"), F.count(F.lit(1)).cast("double")
+    ).first()
+    if not n_total:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("logppl"),
+        )
+    vocab = F.broadcast(counts) if broadcast_vocab else counts
+    denom = F.lit(float(n_total) + smoothing * float(n_vocab))
+    neg_log_p = -F.log((F.col("__c") + F.lit(smoothing)) / denom)
+    scored = (
+        toks.join(vocab, "token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(neg_log_p), 6).alias("logppl"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "logppl",
+        )
+    )

@@ -867,3 +867,33 @@ def test_embedding_dedup_clusters_invariants(spark, sf_dir):
         assert min(x["vec_id"] for x in grp) == cid
         assert sum(x["is_canonical"] for x in grp) == 1
         assert all(x["cluster_size"] == len(grp) for x in grp)
+
+
+def test_unigram_logperplexity_hand_computed(spark):
+    """Tiny corpus with a hand-computable unigram LM: common-token docs
+    score lower cross-entropy than rare-token docs; empty docs get NULL;
+    values match the closed form to 6dp."""
+    import math
+
+    from professional_services_data_validator_spark.operators.text import (
+        unigram_logperplexity,
+    )
+
+    # corpus tokens: a x4, b x2 -> N=6, V=2; p(a)=(4+.5)/(6+1)=4.5/7,
+    # p(b)=(2+.5)/7=2.5/7
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "a a b"), (3, "b"), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in unigram_logperplexity(docs, "doc_id", "text").collect()
+    }
+    assert len(rows) == 4
+    la, lb = -math.log(4.5 / 7), -math.log(2.5 / 7)
+    assert rows[1]["n_tokens"] == 2
+    assert rows[1]["logppl"] == round(la, 6)
+    assert rows[2]["logppl"] == round((2 * la + lb) / 3, 6)
+    assert rows[3]["logppl"] == round(lb, 6)
+    assert rows[1]["logppl"] < rows[2]["logppl"] < rows[3]["logppl"]
+    assert rows[4]["n_tokens"] == 0 and rows[4]["logppl"] is None
