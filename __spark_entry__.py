@@ -2452,3 +2452,239 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         }
     )
     return q
+
+
+# ===========================================================================
+# Round-3 additions: repetition stats, cross-doc span dedup, PII scrub,
+# percentile profiles, chi-squared drift
+# ===========================================================================
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filters (top-2-gram fraction,
+    duplicate-5-gram fraction) over the documents corpus."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        repetition_stats,
+    )
+
+    return repetition_stats(
+        spark.table("documents"), "doc_id", "text", dup_k=5
+    ).orderBy("id")
+
+
+_SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
+  FROM documents),
+bi AS (
+  SELECT id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS g
+  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)
+  WHERE len(t) >= 2),
+bi_c AS (SELECT id, g, count(*) AS c FROM bi GROUP BY id, g),
+bi_a AS (SELECT id, sum(c) AS total, max(c) AS top_c FROM bi_c GROUP BY id),
+kg AS (
+  SELECT id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS g
+  FROM toks, UNNEST(range(0, greatest(len(t) - 5, 0) + 1)) AS u(i)
+  WHERE len(t) >= 5),
+kg_c AS (SELECT id, g, count(*) AS c FROM kg GROUP BY id, g),
+kg_a AS (
+  SELECT id, sum(c) AS total,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+  FROM kg_c GROUP BY id)
+SELECT d.doc_id AS id,
+  CAST(coalesce(bi_a.total, 0) AS BIGINT) AS n_bigrams,
+  round(coalesce(bi_a.top_c * 1.0 / bi_a.total, 0.0), 6) AS top_bigram_frac,
+  CAST(coalesce(kg_a.total, 0) AS BIGINT) AS n_kgrams,
+  round(coalesce(kg_a.dup_c * 1.0 / kg_a.total, 0.0), 6) AS dup_kgram_frac
+FROM documents d
+LEFT JOIN bi_a ON bi_a.id = d.doc_id
+LEFT JOIN kg_a ON kg_a.id = d.doc_id
+ORDER BY id
+"""
+
+
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. cross-document duplicated-span metric: per doc, the
+    fraction of its distinct word 8-grams shared with any other doc."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        cross_doc_shingle_dups,
+    )
+
+    return cross_doc_shingle_dups(
+        spark.table("documents"), "doc_id", "text", k=8
+    ).orderBy("id")
+
+
+_SQL_CROSS_DOC_SPANS = """
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT id,
+    array_to_string(list_slice(t, i + 1, i + 8), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 8, 0) + 1)) AS u(i)),
+freq AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT sh.id, count(*) AS n_shingles,
+         sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM sh JOIN freq USING (shingle) GROUP BY sh.id)
+SELECT d.doc_id AS id,
+  CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+  round(CASE WHEN coalesce(n_shingles, 0) > 0
+        THEN n_shared * 1.0 / n_shingles ELSE 0.0 END, 6) AS shared_frac
+FROM documents d LEFT JOIN per_doc ON per_doc.id = d.doc_id
+ORDER BY id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The synthetic corpus carries no PII,
+    so the query plants deterministic emails + numeric ids (same
+    engine-portable string arithmetic on both sides) and the operator must
+    find and scrub exactly those."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        pii_scrub,
+    )
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact agent"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ref "),
+            (F.col("doc_id") * 7919 + 1000003).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" alt a.b-c@x.io")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(docs, "doc_id", "text").orderBy("id")
+
+
+_SQL_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact agent' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com ref '
+         || CAST(doc_id * 7919 + 1000003 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN ' alt a.b-c@x.io' ELSE '' END
+      AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+    regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        '<PII>', 'g') AS t1
+  FROM aug),
+s2 AS (
+  SELECT doc_id, text, n_emails,
+    len(regexp_extract_all(t1, '[0-9]{6,}')) AS n_long_digits,
+    regexp_replace(t1, '[0-9]{6,}', '<PII>', 'g') AS scrubbed
+  FROM s1)
+SELECT doc_id AS id,
+  CAST(n_emails AS BIGINT) AS n_emails,
+  CAST(n_long_digits AS BIGINT) AS n_long_digits,
+  CAST(len(text) - len(scrubbed) AS BIGINT) AS n_chars_removed,
+  md5(scrubbed) AS scrubbed_hash
+FROM s2 ORDER BY id
+"""
+
+
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role distribution profile of turn text length: count/min/max/
+    avg/stddev + exact interpolated p50/p90/p99 in ONE groupBy pass.
+    mode='approx' (percentile_approx) is the bounded-memory 100-TB path
+    with the identical schema (tests assert the plan + closeness)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        numeric_profile,
+    )
+
+    t = spark.table("transcripts").select(
+        "role", F.length("text").alias("text_len")
+    )
+    return numeric_profile(
+        t, ["role"], "text_len", percentiles=(0.5, 0.9, 0.99), mode="exact"
+    ).orderBy("role")
+
+
+_SQL_NUMERIC_PROFILE = f"""{_CTES},
+v AS (SELECT role, CAST(length(text) AS DOUBLE) AS x FROM transcripts)
+SELECT role,
+  count(x) AS n,
+  min(x) AS vmin,
+  max(x) AS vmax,
+  round(avg(x), 6) AS avg,
+  round(stddev_samp(x), 6) AS std,
+  round(quantile_cont(x, 0.5), 6) AS p_50,
+  round(quantile_cont(x, 0.9), 6) AS p_90,
+  round(quantile_cont(x, 0.99), 6) AS p_99
+FROM v GROUP BY role ORDER BY role
+"""
+
+
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared homogeneity drift on role frequencies, same
+    skewed target as the PSI query so the statistic is nonzero."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        chi2_categorical,
+    )
+
+    tgt = spark.table("transcripts_target").withColumn(
+        "role",
+        F.when(F.col("event_id") % 7 == 0, F.lit("assistant")).otherwise(
+            F.col("role")
+        ),
+    )
+    return chi2_categorical(spark.table("transcripts"), tgt, F.col("role"))
+
+
+_SQL_DRIFT_CHI2 = f"""{_CTES},
+tgt AS (SELECT CASE WHEN event_id % 7 = 0 THEN 'assistant' ELSE role END AS role
+        FROM transcripts_target),
+u AS (
+  SELECT v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT role AS v, 1 AS ns, 0 AS nt FROM transcripts
+    UNION ALL SELECT role, 0, 1 FROM tgt) z
+  GROUP BY v),
+tot AS (SELECT sum(n_s) AS ts, sum(n_t) AS tt FROM u),
+cells AS (
+  SELECT n_s * 1.0 AS o_s, n_t * 1.0 AS o_t,
+         (n_s + n_t) * 1.0 / (ts + tt) AS p_col,
+         ts * 1.0 AS ts, tt * 1.0 AS tt
+  FROM u, tot)
+SELECT
+  round(sum(pow(o_s - ts * p_col, 2) / (ts * p_col)
+          + pow(o_t - tt * p_col, 2) / (tt * p_col)), 6) AS chi2,
+  CAST(count(*) - 1 AS BIGINT) AS dof,
+  CAST(max(ts) AS BIGINT) AS n_source,
+  CAST(max(tt) AS BIGINT) AS n_target
+FROM cells
+"""
+
+
+_TRAINING_QUERIES.update(
+    {
+        "repetition_stats": q_repetition_stats,
+        "cross_doc_spans": q_cross_doc_spans,
+        "pii_scrub": q_pii_scrub,
+        "numeric_profile_by_role": q_numeric_profile,
+        "drift_chi2_role": q_drift_chi2,
+    }
+)
+_TRAINING_ORACLES.update(
+    {
+        "repetition_stats": _SQL_REPETITION,
+        "cross_doc_spans": _SQL_CROSS_DOC_SPANS,
+        "pii_scrub": _SQL_PII_SCRUB,
+        "numeric_profile_by_role": _SQL_NUMERIC_PROFILE,
+        "drift_chi2_role": _SQL_DRIFT_CHI2,
+    }
+)

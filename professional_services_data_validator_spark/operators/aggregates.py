@@ -180,3 +180,60 @@ def build_aggregate_specs(
                 continue
             specs.append(AggregateSpec(agg, f.name, precalc=precalc))
     return specs
+
+
+def numeric_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group numeric distribution profile: count / min / max / avg /
+    stddev_samp plus quantiles — the column-stats core (this module's
+    single-pass discipline) extended to shape statistics, which the
+    reference cannot express (its aggregate set stops at sum/avg/std,
+    query_builder.py:37-115; percentile profiling is a BASELINE drift /
+    data-quality extension).
+
+    ``mode='exact'`` uses Spark's exact ``percentile`` (linear
+    interpolation, identical definition to DuckDB ``quantile_cont`` —
+    probed cell-exact, see tests) and holds per-group sorted value
+    buffers: correct at group cardinalities that fit an executor, the
+    oracle-able path. ``mode='approx'`` swaps in ``approx_percentile``
+    (t-digest-style sketch, bounded memory regardless of group size) — the
+    100-TB path: same output schema, mergeable partial aggregation,
+    accuracy trades memory for error. Everything still ONE groupBy pass.
+
+    Output: group cols + (n, vmin, vmax, avg 6dp, std 6dp, p_50, p_90, ...
+    each rounded 6dp).
+    """
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"unknown mode {mode!r}")
+    v = F.col(value_col).cast("double")
+    pct_arr = F.array(*[F.lit(float(p)) for p in percentiles])
+    if mode == "exact":
+        q = F.percentile(v, pct_arr)
+    else:
+        q = F.percentile_approx(v, pct_arr, F.lit(accuracy))
+    aggs = [
+        F.count(v).cast("long").alias("n"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.round(F.avg(v), 6).alias("avg"),
+        F.round(F.stddev_samp(v), 6).alias("std"),
+        q.alias("__q"),
+    ]
+    out = (
+        df.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else df.agg(*aggs)
+    )
+    pcols = [
+        F.round(F.col("__q")[i], 6).alias(
+            "p_" + str(p).replace("0.", "").ljust(2, "0")
+        )
+        for i, p in enumerate(percentiles)
+    ]
+    return out.select(*group_cols, "n", "vmin", "vmax", "avg", "std", *pcols)

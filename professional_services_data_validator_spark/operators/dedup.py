@@ -552,3 +552,67 @@ def decontaminate(
             F.col("n_overlap") / F.col("bench_ngrams"), 6
         ).alias("overlap_frac"),
     )
+
+
+def cross_doc_shingle_dups(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Cross-document duplicated-span detection à la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): a word
+    ``k``-gram appearing in MORE THAN ONE document marks a shared span;
+    per document we report how much of it is shared with the rest of the
+    corpus. Unlike pairwise near-dup (LSH/simhash), this finds partial
+    overlaps — boilerplate headers, quoted passages, templated spans — that
+    whole-document similarity misses. No reference analog; BASELINE
+    training-pipeline extension.
+
+    Scale posture: the corpus-wide step is a single groupBy over shingle
+    HASHES — the shuffle carries (xxhash64, 8 bytes) instead of the k-word
+    string, the same width trick as the binary row-hash shuffle
+    (row_compare.py). Shingle sets are per-doc distinct, so the per-key
+    count is bounded by the number of documents, not occurrences; map-side
+    partial aggregation applies. The doc-side rollup re-joins on the hash.
+    Output columns carry no hashes, so the DuckDB oracle can group by the
+    plain shingle string — identical results absent a 64-bit collision
+    inside one shingle's bucket, which the oracle comparison would surface.
+
+    Output: (id, n_shingles, n_shared, shared_frac) — ``n_shingles`` =
+    distinct k-grams in the doc, ``n_shared`` = how many of those occur in
+    at least one OTHER doc, ``shared_frac`` = n_shared / n_shingles
+    (0.0 for docs with no k-gram).
+    """
+    sh = shingles(df, id_col, text_col, k=k).select(
+        "id", F.xxhash64("shingle").alias("h")
+    )
+    # docs-per-shingle: tiny relative to the corpus (bounded by distinct
+    # shingles); broadcast back only if small — let AQE decide, the join key
+    # is the same hash the aggregation shuffled on, so no extra exchange.
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_shared").cast("double") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("shared_frac"),
+        )
+    )

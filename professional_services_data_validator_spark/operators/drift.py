@@ -252,3 +252,51 @@ def drift_grouped_verdicts(
         .otherwise(F.lit(consts.VALIDATION_STATUS_FAIL))
         .alias("validation_status"),
     )
+
+
+def chi2_categorical(
+    source: DataFrame,
+    target: DataFrame,
+    category_col: Column,
+) -> DataFrame:
+    """Pearson chi-squared homogeneity test between source and target
+    category frequencies — the third classical drift statistic next to KS
+    (continuous) and PSI (stability): chi2 = sum over cells of
+    (observed - expected)^2 / expected for the 2 x k contingency table,
+    expected_{side,c} = row_total_side * col_total_c / grand_total.
+
+    Same plan shape as psi(): two count aggregations, one full-outer join
+    on the category value (key space = k categories, tiny), broadcast
+    totals. Categories absent from both sides contribute nothing; cells
+    with expected = 0 cannot occur (a category is in the table only if one
+    side observed it). Output one row:
+    (chi2 double 6dp, dof long = k - 1, n_source, n_target).
+    """
+    s = _counts_by_value(source, category_col, "s")
+    t = _counts_by_value(target, category_col, "t")
+    joined = s.join(t, "v", "full_outer").fillna(0, ["n_s", "n_t"])
+    totals = joined.agg(
+        F.sum("n_s").alias("tot_s"), F.sum("n_t").alias("tot_t")
+    )
+    cells = joined.crossJoin(F.broadcast(totals)).select(
+        F.col("n_s").cast("double").alias("o_s"),
+        F.col("n_t").cast("double").alias("o_t"),
+        (
+            (F.col("n_s") + F.col("n_t")).cast("double")
+            / (F.col("tot_s") + F.col("tot_t")).cast("double")
+        ).alias("p_col"),
+        F.col("tot_s").cast("double").alias("tot_s"),
+        F.col("tot_t").cast("double").alias("tot_t"),
+    )
+    contrib = (
+        F.pow(F.col("o_s") - F.col("tot_s") * F.col("p_col"), 2)
+        / (F.col("tot_s") * F.col("p_col"))
+        + F.pow(F.col("o_t") - F.col("tot_t") * F.col("p_col"), 2)
+        / (F.col("tot_t") * F.col("p_col"))
+    )
+    return cells.agg(
+        F.round(F.sum(contrib), 6).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.max("tot_s").cast("long").alias("n_source"),
+        F.max("tot_t").cast("long").alias("n_target"),
+    )

@@ -371,3 +371,132 @@ def unigram_logperplexity(
             "logppl",
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, dup_k: int = 5
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition filters; no reference
+    analog — BASELINE training-pipeline extension).
+
+    Per document:
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams (Gopher's "top-2-gram fraction");
+    - ``dup_kgram_frac``: fraction of word ``dup_k``-gram OCCURRENCES whose
+      gram appears more than once in the doc (Gopher's "duplicate 5-gram
+      fraction") — boilerplate and degenerate loops score high.
+
+    Scale posture: one n-gram explode per signal, aggregated by
+    (id, gram) then by id — map-side partial aggregation applies, the
+    shuffle key space is bounded by distinct grams per doc, and no window
+    function is needed (top count via max over the per-gram counts).
+    Built-ins only; exact DuckDB oracle at 6dp.
+
+    Output: (id, n_bigrams, top_bigram_frac, n_kgrams, dup_kgram_frac).
+    Docs too short for an n-gram emit fraction 0.0 (never NULL) so the
+    filter predicate downstream is total.
+    """
+
+    def _grams(k: int) -> Column:
+        toks = F.split(F.trim(F.col(text_col)), " +")
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+        )
+        # a doc shorter than k words yields one truncated gram; drop it by
+        # requiring k tokens (count spaces = k-1)
+        return F.when(n >= k, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def _per_doc(k: int, top: bool) -> DataFrame:
+        per_gram = (
+            df.select(
+                F.col(id_col).alias("id"), F.explode(_grams(k)).alias("g")
+            )
+            .groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        agg = per_gram.groupBy("id").agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_c"
+            ),
+        )
+        num = F.col("top_c") if top else F.col("dup_c")
+        frac = F.when(
+            F.col("total") > 0, num.cast("double") / F.col("total")
+        ).otherwise(F.lit(0.0))
+        pfx = "bigram" if top else "kgram"
+        return agg.select(
+            "id",
+            F.col("total").cast("long").alias(f"n_{pfx}s"),
+            F.round(frac, 6).alias(
+                "top_bigram_frac" if top else "dup_kgram_frac"
+            ),
+        )
+
+    base = df.select(F.col(id_col).alias("id"))
+    bi = _per_doc(2, top=True)
+    du = _per_doc(dup_k, top=False)
+    return (
+        base.join(bi, "id", "left")
+        .join(du, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("n_kgrams", F.lit(0)).cast("long").alias("n_kgrams"),
+            F.coalesce("dup_kgram_frac", F.lit(0.0)).alias("dup_kgram_frac"),
+        )
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround, explicit character classes.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "long_digits": r"[0-9]{6,}",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str, text_col: str, replacement: str = "<PII>"
+) -> DataFrame:
+    """Regex PII redaction: emails and long digit runs (ids, phone-ish,
+    card-ish) replaced with a sentinel; emits per-doc match counts and the
+    scrubbed text's md5 so the transform itself is value-checkable
+    cross-engine. No reference analog — BASELINE training-pipeline
+    extension (every corpus pipeline scrubs before training).
+
+    Scale posture: pure per-row regexp built-ins (regexp_extract_all +
+    regexp_replace), whole-stage codegen, zero shuffle; the patterns are
+    RE2-compatible so the DuckDB oracle replays them byte-identically.
+
+    Output: (id, n_emails, n_long_digits, n_chars_removed, scrubbed_hash).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_email = F.size(
+        F.regexp_extract_all(text, F.lit(PII_PATTERNS["email"]), F.lit(0))
+    ).cast("long")
+    scrub1 = F.regexp_replace(text, PII_PATTERNS["email"], replacement)
+    n_digits = F.size(
+        F.regexp_extract_all(
+            scrub1, F.lit(PII_PATTERNS["long_digits"]), F.lit(0)
+        )
+    ).cast("long")
+    scrubbed = F.regexp_replace(
+        scrub1, PII_PATTERNS["long_digits"], replacement
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_email.alias("n_emails"),
+        n_digits.alias("n_long_digits"),
+        (F.length(text) - F.length(scrubbed)).cast("long").alias(
+            "n_chars_removed"
+        ),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )

@@ -1,0 +1,177 @@
+"""Round-3 additions: repetition stats, cross-doc span dedup, PII scrub,
+numeric percentile profiles, chi-squared drift."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from professional_services_data_validator_spark.operators.aggregates import (
+    numeric_profile,
+)
+from professional_services_data_validator_spark.operators.dedup import (
+    cross_doc_shingle_dups,
+)
+from professional_services_data_validator_spark.operators.drift import (
+    chi2_categorical,
+)
+from professional_services_data_validator_spark.operators.text import (
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def test_repetition_stats_known_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            # "a b" x3 + "b a" x2 -> bigrams: ab,ba,ab,ba,ab = 5, top 3
+            (1, "a b a b a b"),
+            # all-distinct tokens: no repeated bigram, no dup 5-gram
+            (2, "q w e r t y u"),
+            # shorter than 5 tokens: n_kgrams 0, frac 0.0 (total predicate)
+            (3, "x y"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in repetition_stats(df, "id", "text", dup_k=5).collect()
+    }
+    assert out[1]["n_bigrams"] == 5
+    assert abs(out[1]["top_bigram_frac"] - 3 / 5) < 1e-9
+    # 5-grams of doc 1: ababa, babab -> "a b a b a" x1? positions 0,1:
+    # [a b a b a], [b a b a b] -> both unique -> dup 0
+    assert out[1]["dup_kgram_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == round(1 / 6, 6)
+    assert out[2]["dup_kgram_frac"] == 0.0
+    assert out[3]["n_kgrams"] == 0 and out[3]["dup_kgram_frac"] == 0.0
+    assert out[4]["n_bigrams"] == 0 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_stats_detects_loops(spark):
+    looped = " ".join(["the same five words again"] * 10)
+    clean = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, looped), (2, clean)], "id long, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in repetition_stats(df, "id", "text", dup_k=5).collect()
+    }
+    assert out[1]["dup_kgram_frac"] == 1.0  # every 5-gram occurs >1x
+    assert out[2]["dup_kgram_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] > out[2]["top_bigram_frac"]
+
+
+def test_cross_doc_spans_shared_vs_unique(spark):
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail1 a b c"),
+            (2, shared + " tail2 d e f"),
+            (3, "totally different words " + " ".join(f"u{i}" for i in range(8))),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in cross_doc_shingle_dups(df, "id", "text", k=8).collect()
+    }
+    # docs 1 and 2 share exactly the one 8-gram made of the shared prefix
+    assert out[1]["n_shared"] == 1 and out[2]["n_shared"] == 1
+    assert out[3]["n_shared"] == 0 and out[3]["shared_frac"] == 0.0
+    assert 0 < out[1]["shared_frac"] < 1
+
+
+def test_cross_doc_spans_shuffles_hash_not_string(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "id long, text string")
+    plan = cross_doc_shingle_dups(df, "id", "text", k=8)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    # the corpus-wide aggregation groups by the 8-byte hash, not the k-word
+    # shingle string
+    assert "xxhash64" in plan
+
+
+def test_pii_scrub_counts_and_idempotence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@corp.example.org or 123456789 now"),
+            (2, "no pii here, just 12345 (too short) and at-sign @ alone"),
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in pii_scrub(df, "id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_long_digits"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_long_digits"] == 0
+    assert out[3]["n_emails"] == 0  # null-safe
+    assert out[2]["n_chars_removed"] == 0
+    # scrubbing output again finds nothing (sentinel contains no PII)
+    df2 = spark.createDataFrame(
+        [(1, "pre <PII> post <PII>")], "id long, text string"
+    )
+    again = pii_scrub(df2, "id", "text").collect()[0]
+    assert again["n_emails"] == 0 and again["n_long_digits"] == 0
+
+
+def test_numeric_profile_exact_matches_python(spark):
+    vals = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 100)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = numeric_profile(df, [], "x", percentiles=(0.5, 0.9), mode="exact")
+    r = row.collect()[0]
+    assert r["n"] == 10 and r["vmin"] == 1.0 and r["vmax"] == 100.0
+    # linear interpolation: p50 = (5+6)/2, p90 = 9 + 0.1*(100-9)
+    assert abs(r["p_50"] - 5.5) < 1e-9
+    assert abs(r["p_90"] - (9 + 0.1 * 91)) < 1e-9
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+    assert abs(r["avg"] - round(mean, 6)) < 1e-9
+    assert abs(r["std"] - round(math.sqrt(var), 6)) < 1e-6
+
+
+def test_numeric_profile_approx_same_schema_close_values(spark, transcripts):
+    t = transcripts.select("role", F.length("text").alias("x"))
+    exact = numeric_profile(t, ["role"], "x", mode="exact")
+    approx = numeric_profile(t, ["role"], "x", mode="approx")
+    assert exact.columns == approx.columns
+    e = {r["role"]: r for r in exact.collect()}
+    a = {r["role"]: r for r in approx.collect()}
+    for role in e:
+        # sketch error is tiny at this accuracy; p50 within 2 length units
+        assert abs(e[role]["p_50"] - a[role]["p_50"]) <= 2.0
+        assert e[role]["n"] == a[role]["n"]
+
+
+def test_numeric_profile_single_aggregate_pass(spark, transcripts):
+    t = transcripts.select("role", F.length("text").alias("x"))
+    plan = numeric_profile(t, ["role"], "x", mode="approx")._jdf \
+        .queryExecution().executedPlan().toString()
+    # ONE shuffle for the groupBy (partial + final aggregate), none extra
+    assert plan.count("Exchange") == 1
+
+
+def test_chi2_identical_distributions_is_zero(spark):
+    df = spark.createDataFrame(
+        [(r,) for r in ["a"] * 30 + ["b"] * 20], "role string"
+    )
+    r = chi2_categorical(df, df, F.col("role")).collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1
+    assert r["n_source"] == 50 and r["n_target"] == 50
+
+
+def test_chi2_known_2x2_value(spark):
+    # contingency: source a=10 b=30, target a=20 b=20
+    s = spark.createDataFrame([(r,) for r in ["a"] * 10 + ["b"] * 30], "c string")
+    t = spark.createDataFrame([(r,) for r in ["a"] * 20 + ["b"] * 20], "c string")
+    r = chi2_categorical(s, t, F.col("c")).collect()[0]
+    # classic formula: N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    expect = 80 * (10 * 20 - 30 * 20) ** 2 / (40 * 40 * 30 * 50)
+    assert abs(r["chi2"] - round(expect, 6)) < 1e-6
+    assert r["dof"] == 1
+
+
+def test_chi2_category_only_on_one_side(spark):
+    s = spark.createDataFrame([("a",), ("b",)], "c string")
+    t = spark.createDataFrame([("a",), ("c",)], "c string")
+    r = chi2_categorical(s, t, F.col("c")).collect()[0]
+    assert r["dof"] == 2 and r["chi2"] > 0  # no div-by-zero on absent cells
