@@ -2688,3 +2688,79 @@ _TRAINING_ORACLES.update(
         "drift_chi2_role": _SQL_DRIFT_CHI2,
     }
 )
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative single-table expectations: seven rules, ONE aggregate
+    pass (count distinct included via Expand). Thresholds chosen so both
+    verdicts appear: tool is nullable by construction, so not_null__tool
+    at 0.95 fails while the rest pass."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.expectations import (
+        Expectation,
+        run_expectations,
+    )
+
+    rules = [
+        Expectation("not_null", "conv_id"),
+        Expectation("not_null", "tool", threshold=0.95),
+        Expectation("unique", "event_id"),
+        Expectation("between", "turn_idx", lo=0, hi=10_000),
+        Expectation("matches_regex", "role", pattern="^[a-z]+$"),
+        Expectation(
+            "isin", "role", values=("user", "assistant", "system", "tool")
+        ),
+        Expectation(
+            "custom_sql",
+            expr="length(text) > 0",
+            threshold=0.99,
+            name="nonempty_text",
+        ),
+    ]
+    return run_expectations(spark.table("transcripts"), rules).orderBy(
+        "rule_name"
+    )
+
+
+_SQL_EXPECTATIONS = f"""{_CTES},
+w AS (
+  SELECT count(*) AS n,
+    avg(CASE WHEN conv_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m_conv,
+    avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m_tool,
+    count(DISTINCT event_id) * 1.0 AS d_event,
+    count(event_id) * 1.0 AS t_event,
+    avg(CASE WHEN turn_idx IS NOT NULL AND turn_idx >= 0
+              AND turn_idx <= 10000 THEN 1.0 ELSE 0.0 END) AS m_between,
+    avg(CASE WHEN role IS NOT NULL
+              AND regexp_matches(role, '^[a-z]+$') THEN 1.0 ELSE 0.0 END)
+      AS m_regex,
+    avg(CASE WHEN role IN ('user','assistant','system','tool')
+             THEN 1.0 ELSE 0.0 END) AS m_isin,
+    avg(CASE WHEN length(text) > 0 THEN 1.0 ELSE 0.0 END) AS m_text
+  FROM transcripts)
+SELECT rule_name, rule_kind, "column", observed, threshold,
+  CASE WHEN observed >= threshold THEN 'success' ELSE 'fail' END
+    AS validation_status
+FROM (
+  SELECT 'not_null__conv_id' AS rule_name, 'not_null' AS rule_kind,
+         'conv_id' AS "column", round(CAST(m_conv AS DOUBLE), 6) AS observed,
+         CAST(1.0 AS DOUBLE) AS threshold FROM w
+  UNION ALL SELECT 'not_null__tool', 'not_null', 'tool',
+         round(CAST(m_tool AS DOUBLE), 6), CAST(0.95 AS DOUBLE) FROM w
+  UNION ALL SELECT 'unique__event_id', 'unique', 'event_id',
+         round(CAST(CASE WHEN t_event > 0 THEN d_event / t_event
+                    ELSE 1.0 END AS DOUBLE), 6), CAST(1.0 AS DOUBLE) FROM w
+  UNION ALL SELECT 'between__turn_idx', 'between', 'turn_idx',
+         round(CAST(m_between AS DOUBLE), 6), CAST(1.0 AS DOUBLE) FROM w
+  UNION ALL SELECT 'matches_regex__role', 'matches_regex', 'role',
+         round(CAST(m_regex AS DOUBLE), 6), CAST(1.0 AS DOUBLE) FROM w
+  UNION ALL SELECT 'isin__role', 'isin', 'role',
+         round(CAST(m_isin AS DOUBLE), 6), CAST(1.0 AS DOUBLE) FROM w
+  UNION ALL SELECT 'nonempty_text', 'custom_sql', NULL,
+         round(CAST(m_text AS DOUBLE), 6), CAST(0.99 AS DOUBLE) FROM w
+) ORDER BY rule_name
+"""
+
+
+_TRAINING_QUERIES["expectations_report"] = q_expectations
+_TRAINING_ORACLES["expectations_report"] = _SQL_EXPECTATIONS

@@ -342,6 +342,29 @@ def build_parser() -> argparse.ArgumentParser:
                      help="emit only the kept docs instead of all verdicts")
     cur.add_argument("--output", default=None,
                      help="parquet output dir (omit = print summary only)")
+
+    # expect: single-table declarative expectations, all rules in ONE
+    # aggregate pass (no reference analog — BASELINE validation-engine
+    # extension; see operators/expectations.py)
+    exp = sub.add_parser(
+        "expect",
+        help="evaluate a YAML rule list against one table in a single "
+        "aggregate pass; exit 1 if any rule fails",
+    )
+    exp.add_argument("--source-path")
+    exp.add_argument("--source-table")
+    exp.add_argument("--rules", required=True,
+                     help="YAML/JSON file: list of rule dicts "
+                     "(kind, column, threshold, lo, hi, values, pattern, "
+                     "expr, name)")
+    exp.add_argument("--approx", action="store_true",
+                     help="HLL sketches for 'unique' rules (100-TB path)")
+    exp.add_argument("--filter-status", default=None,
+                     choices=["success", "fail"])
+    exp.add_argument("--format", default="table",
+                     choices=["table", "text", "csv", "json"])
+    exp.add_argument("--output", default=None,
+                     help="parquet output dir for the report")
     return top
 
 
@@ -750,6 +773,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_find_tables(args)
     if args.command == "curate":
         return _run_curate(args)
+    if args.command == "expect":
+        return _run_expect(args)
     if args.command == "validate":
         cfg_dict = _config_dict_from_flags(args)
         if args.config_file or args.config_file_json:
@@ -1065,3 +1090,59 @@ def _run_curate(args: argparse.Namespace) -> int:
     finally:
         verdicts.unpersist()
     return 0
+
+
+def _run_expect(args: argparse.Namespace) -> int:
+    """expect: evaluate a YAML/JSON rule list in one aggregate pass and
+    print/persist the long-format report. Exit code 1 when any rule fails
+    (the `run` command's fail-count convention)."""
+    import yaml
+
+    from .operators.expectations import Expectation, run_expectations
+    from .session import get_spark
+    from .sources.readers import read_file
+    from .sources.sinks import report_to_text
+
+    with open(args.rules) as f:
+        raw = yaml.safe_load(f)
+    if not isinstance(raw, list):
+        raise SystemExit("--rules must be a YAML/JSON LIST of rule dicts")
+    rules = []
+    for d in raw:
+        if not isinstance(d, dict) or "kind" not in d:
+            raise SystemExit(f"rule needs a 'kind': {d!r}")
+        if "values" in d:
+            d = dict(d, values=tuple(d["values"]))
+        try:
+            rules.append(Expectation(**d))
+        except TypeError as exc:
+            raise SystemExit(f"bad rule {d!r}: {exc}")
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("psdv-expect")
+    try:
+        source = _load_side(spark, args.source_path, args.source_table)
+        report = run_expectations(source, rules, approx=args.approx)
+        # tiny (one row per rule): a single driver-side collect feeds the
+        # sink, the text rendering, and the exit code — no recompute
+        report = report.persist()
+        try:
+            if args.output:
+                report.write.mode("overwrite").parquet(args.output)
+            print(
+                report_to_text(
+                    report,
+                    status_filter=args.filter_status,
+                    cols=report.columns,
+                    fmt=args.format,
+                )
+            )
+            n_fail = report.filter(
+                F.col("validation_status") == "fail"
+            ).count()
+        finally:
+            report.unpersist()
+    finally:
+        if not preexisting:
+            spark.stop()
+    return 1 if n_fail else 0
