@@ -51,6 +51,9 @@ TRAINING_BENCH = [
     "tfidf_top_terms",
     "srp_embedding_near_pairs",
     "embedding_kmeans_ann",
+    "cross_doc_spans",
+    "repetition_stats",
+    "expectations_report",
 ]
 
 

@@ -155,6 +155,49 @@ NOTES = {
         "contamination and quality add a broadcast and a map-side project "
         "respectively. Verdict is a pure projection."
     ),
+    "repetition_stats": (
+        "Gopher repetition filters: one n-gram explode per signal, "
+        "aggregated by (id, gram) then id — both hash aggregates partial-"
+        "agg'd map-side; no window (top count = max over per-gram counts). "
+        "Key space is bounded by grams per doc, so the exchanges carry "
+        "O(docs x grams/doc) short rows. At 100 TB this is the token-"
+        "explode shuffle every text metric already pays, nothing more."
+    ),
+    "cross_doc_spans": (
+        "Lee-et-al duplicated-span metric: the corpus-wide frequency "
+        "aggregate groups by xxhash64(shingle) — the exchange carries 8-"
+        "byte keys, not k-word strings (the binary row-hash trick). "
+        "Shingles are per-doc distinct so per-key counts are bounded by "
+        "doc count; the doc-side rollup re-joins on the same hash key, so "
+        "AQE can keep it in the aggregation's partitioning."
+    ),
+    "pii_scrub": (
+        "Pure map-only Project: regexp_extract_all + regexp_replace in "
+        "whole-stage codegen, zero Exchange. A free rider on any existing "
+        "scan at 100 TB."
+    ),
+    "numeric_profile_by_role": (
+        "count/min/max/avg/std + percentiles in ONE groupBy pass. Exact "
+        "mode holds per-group sorted buffers (the oracle-able path); "
+        "approx mode swaps in percentile_approx's mergeable t-digest-style "
+        "sketch — same schema, bounded memory, partial aggregation "
+        "map-side — which is the 100-TB default."
+    ),
+    "drift_chi2_role": (
+        "Chi-squared homogeneity: identical plan shape to PSI — two "
+        "grouped counts, full-outer join on the k-category relation, "
+        "broadcast totals, one final agg. O(data) only in the first "
+        "scan+partial count."
+    ),
+    "expectations_report": (
+        "N declarative rules = ONE scan + one aggregate: conditional avg() "
+        "terms fuse into a single partial/final HashAggregate; 'unique' "
+        "rules add count(DISTINCT) via one Expand (or HLL sketches under "
+        "approx=True, keeping the aggregate fully mergeable). The report "
+        "melt is explode(array(structs)) over the single wide row — no "
+        "joins, no second pass. Rule count scales the projection width, "
+        "never the scan count."
+    ),
     "srp_embedding_near_pairs": (
         "SRP LSH near-dup: 16 literal-array dot-product folds per row "
         "(whole-stage codegen, no Python, no shuffle) -> signature chunk "
