@@ -2764,3 +2764,150 @@ FROM (
 
 _TRAINING_QUERIES["expectations_report"] = q_expectations
 _TRAINING_ORACLES["expectations_report"] = _SQL_EXPECTATIONS
+
+
+def q_conversation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn transcript structure invariants: contiguous turn_idx,
+    allowed opening role, allowed role transitions, tool-column/role
+    consistency, timestamp monotonicity — the transcript-semantic checks no
+    generic column/row validation covers. Real violations exist in the
+    derived fixture (role-transition + opening-role)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.conversation import (
+        conversation_checks,
+    )
+
+    return conversation_checks(spark.table("transcripts")).orderBy(
+        "conv_id", "check"
+    )
+
+
+_SQL_CONVERSATION = f"""{_CTES},
+per_conv AS (
+  SELECT conv_id, count(*) AS n_turns,
+         count(DISTINCT turn_idx) AS n_distinct_turns,
+         min(turn_idx) AS min_turn, max(turn_idx) AS max_turn,
+         arg_min(role, turn_idx) AS first_role,
+         count(CASE WHEN (role = 'tool') != (tool IS NOT NULL)
+               THEN 1 END) AS n_tool_mismatch
+  FROM transcripts GROUP BY conv_id),
+pairs AS (
+  SELECT l.conv_id,
+         count(CASE WHEN NOT (
+             (l.role = 'system' AND r.role = 'user')
+          OR (l.role = 'user' AND r.role = 'assistant')
+          OR (l.role = 'assistant' AND r.role = 'user')
+          OR (l.role = 'assistant' AND r.role = 'tool')
+          OR (l.role = 'tool' AND r.role = 'assistant'))
+          THEN 1 END) AS n_bad_transitions,
+         count(CASE WHEN r.ts < l.ts THEN 1 END) AS n_ts_regressions
+  FROM transcripts l JOIN transcripts r
+    ON l.conv_id = r.conv_id AND r.turn_idx = l.turn_idx + 1
+  GROUP BY l.conv_id),
+j AS (
+  SELECT per_conv.*, coalesce(n_bad_transitions, 0) AS n_bad,
+         coalesce(n_ts_regressions, 0) AS n_reg
+  FROM per_conv LEFT JOIN pairs USING (conv_id)),
+melted AS (
+  SELECT conv_id, n_turns, 'contiguous' AS "check",
+         (min_turn != 0 OR max_turn != n_turns - 1
+          OR n_distinct_turns != n_turns) AS failed,
+         'turns [' || min_turn || '..' || max_turn || '] count ' || n_turns
+           AS detail
+  FROM j
+  UNION ALL
+  SELECT conv_id, n_turns, 'opening_role',
+         first_role NOT IN ('user', 'system'),
+         'opens with ' || first_role FROM j
+  UNION ALL
+  SELECT conv_id, n_turns, 'role_transition', n_bad > 0,
+         n_bad || ' disallowed transition(s)' FROM j
+  UNION ALL
+  SELECT conv_id, n_turns, 'tool_role', n_tool_mismatch > 0,
+         n_tool_mismatch || ' row(s) where tool presence != (role = ''tool'')'
+  FROM j
+  UNION ALL
+  SELECT conv_id, n_turns, 'ts_monotonic', n_reg > 0,
+         n_reg || ' timestamp regression(s)' FROM j)
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, "check", detail
+FROM melted WHERE failed ORDER BY conv_id, "check"
+"""
+
+
+_TRAINING_QUERIES["conversation_checks"] = q_conversation_checks
+_TRAINING_ORACLES["conversation_checks"] = _SQL_CONVERSATION
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health profile. The fixture vectors are clean, so
+    the query plants one defect of each class deterministically (NULL /
+    truncated / NaN element / zero vector on vec_id 0-3) with the same
+    engine-portable expressions the oracle uses — the operator must count
+    exactly those and profile norms over the healthy rest."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.similarity import (
+        embedding_stats,
+    )
+
+    vecs = spark.table("embeddings").select(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(None))
+        .when(F.col("vec_id") == 1, F.slice(F.col("embedding"), 1, 10))
+        .when(
+            F.col("vec_id") == 2,
+            F.concat(
+                F.slice(F.col("embedding"), 1, 63),
+                F.array(F.lit(float("nan")).cast("float")),
+            ),
+        )
+        .when(
+            F.col("vec_id") == 3,
+            F.transform(F.col("embedding"), lambda x: F.lit(0.0).cast("float")),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return embedding_stats(vecs, "vec_id", "embedding", expected_dim=64)
+
+
+_SQL_EMBEDDING_STATS = """
+WITH vecs AS (
+  SELECT vec_id,
+    CASE WHEN vec_id = 0 THEN NULL
+         WHEN vec_id = 1 THEN embedding[1:10]
+         WHEN vec_id = 2 THEN list_append(embedding[1:63],
+                                          CAST('nan' AS FLOAT))
+         WHEN vec_id = 3 THEN list_transform(embedding,
+                                             x -> CAST(0.0 AS FLOAT))
+         ELSE embedding END AS v
+  FROM embeddings),
+flagged AS (
+  SELECT
+    CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_null,
+    CASE WHEN v IS NOT NULL AND len(v) != 64 THEN 1 ELSE 0 END AS wrong_dim,
+    CASE WHEN v IS NOT NULL AND len(list_filter(v,
+         x -> isnan(CAST(x AS DOUBLE)) OR abs(x) = CAST('inf' AS DOUBLE)))
+         > 0 THEN 1 ELSE 0 END AS nonfin,
+    list_sum(list_transform(v,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+  FROM vecs),
+scored AS (
+  SELECT is_null, wrong_dim, nonfin,
+    CASE WHEN is_null = 0 AND nonfin = 0 AND sq <= 1e-12
+         THEN 1 ELSE 0 END AS zero_norm,
+    CASE WHEN is_null = 0 AND wrong_dim = 0 AND nonfin = 0 AND sq > 1e-12
+         THEN round(sqrt(sq), 6) END AS healthy_norm
+  FROM flagged)
+SELECT count(*) AS n_vecs,
+  CAST(sum(is_null) AS BIGINT) AS n_null,
+  CAST(sum(wrong_dim) AS BIGINT) AS n_wrong_dim,
+  CAST(sum(nonfin) AS BIGINT) AS n_nonfinite,
+  CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm,
+  round(avg(healthy_norm), 6) AS avg_norm,
+  round(quantile_cont(healthy_norm, 0.5), 6) AS p50_norm
+FROM scored
+"""
+
+
+_TRAINING_QUERIES["embedding_stats"] = q_embedding_stats
+_TRAINING_ORACLES["embedding_stats"] = _SQL_EMBEDDING_STATS

@@ -1,0 +1,195 @@
+"""Conversation-structure validation: per-conversation invariants of
+multi-turn agent transcripts.
+
+The reference validates tables generically; the BASELINE input is
+specifically multi-turn transcripts (conv_id, turn_idx, role, text, tool,
+ts), whose semantic invariants no generic column/row check covers:
+
+- ``contiguous``: turn_idx runs 0..n-1 with no gaps or repeats;
+- ``opening_role``: the first turn is from an allowed opener
+  (user/system by default);
+- ``role_transition``: every adjacent (role -> role) pair is in the allowed
+  transition set (assistant may hand to tool, tool returns to assistant,
+  user and assistant alternate, system only leads);
+- ``ts_monotonic``: timestamps never decrease as turn_idx increases;
+- ``tool_role``: the tool column is populated iff role = 'tool'.
+
+Spark-first: everything is ONE aggregation keyed by conv_id over
+window-free expressions — per-conv min/max/count/count-distinct plus
+transition checks via a lag-free self-describing trick: instead of a
+windowed lag() (which would sort every conversation), adjacent-pair
+violations are counted by joining the table to itself on
+(conv_id, turn_idx + 1). That join is co-partitioned on conv_id — at
+100 TB with the transcript table bucketed by conv_id it is shuffle-free;
+AQE skew-join splits hot conversations. The streaming twin (stateful
+turn-order monitor, streaming/incremental.py) applies the same transition
+rules incrementally.
+
+Output (one row per failing conversation):
+  (conv_id, n_turns, check, detail) — long format, one row per violated
+  check, so downstream routing matches the lineage-table discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# allowed (prev_role -> next_role) edges; everything else is a violation
+DEFAULT_TRANSITIONS = (
+    ("system", "user"),
+    ("user", "assistant"),
+    ("assistant", "user"),
+    ("assistant", "tool"),
+    ("tool", "assistant"),
+)
+
+DEFAULT_OPENERS = ("user", "system")
+
+
+def conversation_checks(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str | None = "tool",
+    ts_col: str | None = "ts",
+    transitions: tuple = DEFAULT_TRANSITIONS,
+    openers: tuple = DEFAULT_OPENERS,
+) -> DataFrame:
+    """Long-format violation report; conversations passing every check
+    emit nothing."""
+    conv, turn, role = F.col(conv_col), F.col(turn_col), F.col(role_col)
+
+    # per-conv scalar facts in one aggregate pass
+    per_conv = df.groupBy(conv.alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct(turn).alias("n_distinct_turns"),
+        F.min(turn).alias("min_turn"),
+        F.max(turn).alias("max_turn"),
+        F.min_by(role, turn).alias("first_role"),
+        (
+            F.count(
+                F.when(
+                    (role == "tool") != F.col(tool_col).isNotNull()
+                    if tool_col
+                    else F.lit(False),
+                    1,
+                )
+            )
+            if tool_col
+            else F.lit(0).cast("long")
+        ).alias("n_tool_mismatch"),
+    )
+
+    # adjacent pairs via equi-join on (conv, turn+1): co-partitioned on
+    # conv_id, no window sort
+    left = df.select(
+        conv.alias("conv_id"),
+        turn.alias("t"),
+        role.alias("r_prev"),
+        *( [F.col(ts_col).alias("ts_prev")] if ts_col else [] ),
+    )
+    right = df.select(
+        conv.alias("conv_id"),
+        (turn - 1).alias("t"),
+        role.alias("r_next"),
+        *( [F.col(ts_col).alias("ts_next")] if ts_col else [] ),
+    )
+    edge_ok = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in transitions
+        ]
+    )
+    pairs = left.join(right, ["conv_id", "t"])
+    bad_edge = ~F.array_contains(
+        edge_ok, F.struct(F.col("r_prev").alias("a"), F.col("r_next").alias("b"))
+    )
+    pair_aggs = [
+        F.count(F.when(bad_edge, 1)).alias("n_bad_transitions"),
+    ]
+    if ts_col:
+        pair_aggs.append(
+            F.count(
+                F.when(F.col("ts_next") < F.col("ts_prev"), 1)
+            ).alias("n_ts_regressions")
+        )
+    per_pairs = pairs.groupBy("conv_id").agg(*pair_aggs)
+
+    j = per_conv.join(per_pairs, "conv_id", "left").fillna(
+        0, ["n_bad_transitions"] + (["n_ts_regressions"] if ts_col else [])
+    )
+
+    checks = [
+        (
+            "contiguous",
+            (F.col("min_turn") != 0)
+            | (F.col("max_turn") != F.col("n_turns") - 1)
+            | (F.col("n_distinct_turns") != F.col("n_turns")),
+            F.concat(
+                F.lit("turns ["),
+                F.col("min_turn"),
+                F.lit(".."),
+                F.col("max_turn"),
+                F.lit("] count "),
+                F.col("n_turns"),
+            ),
+        ),
+        (
+            "opening_role",
+            ~F.col("first_role").isin(*openers),
+            F.concat(F.lit("opens with "), F.col("first_role")),
+        ),
+        (
+            "role_transition",
+            F.col("n_bad_transitions") > 0,
+            F.concat(
+                F.col("n_bad_transitions"), F.lit(" disallowed transition(s)")
+            ),
+        ),
+    ]
+    if tool_col:
+        checks.append(
+            (
+                "tool_role",
+                F.col("n_tool_mismatch") > 0,
+                F.concat(
+                    F.col("n_tool_mismatch"),
+                    F.lit(" row(s) where tool presence != (role = 'tool')"),
+                ),
+            )
+        )
+    if ts_col:
+        checks.append(
+            (
+                "ts_monotonic",
+                F.col("n_ts_regressions") > 0,
+                F.concat(
+                    F.col("n_ts_regressions"), F.lit(" timestamp regression(s)")
+                ),
+            )
+        )
+
+    melted = j.select(
+        "conv_id",
+        "n_turns",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        cond.alias("failed"),
+                        detail.cast("string").alias("detail"),
+                    )
+                    for name, cond, detail in checks
+                ]
+            )
+        ).alias("c"),
+    )
+    return melted.filter(F.col("c.failed")).select(
+        "conv_id",
+        "n_turns",
+        F.col("c.check").alias("check"),
+        F.col("c.detail").alias("detail"),
+    )

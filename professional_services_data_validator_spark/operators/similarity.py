@@ -552,3 +552,63 @@ def ivf_topk(
             F.round("score_raw", round_digits).alias("score"),
         )
     )
+
+
+def embedding_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    expected_dim: int,
+    zero_tol: float = 1e-12,
+) -> DataFrame:
+    """Embedding-column quality profile: the validation-engine checks an
+    array<float> column needs before any ANN/near-dup stage trusts it
+    (no reference analog — BASELINE extension; a single bad batch of NULL /
+    truncated / NaN / all-zero vectors silently poisons every cosine op
+    downstream, since cosine with a zero vector is 0/0).
+
+    One pass, built-ins only: per-row flags (null, wrong dim, non-finite
+    element, ~zero norm) and the L2 norm (double fold, rounded 6dp BEFORE
+    the distribution stats so the percentile interpolation is bit-stable
+    cross-engine), then ONE global aggregate:
+    (n_vecs, n_null, n_wrong_dim, n_nonfinite, n_zero_norm,
+     avg_norm, p50_norm) — norm stats over healthy vectors only.
+    """
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.round(F.sqrt(sq), 6)
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == float("inf"))
+    )
+    flagged = df.select(
+        F.when(v.isNull(), 1).otherwise(0).alias("is_null"),
+        F.when(v.isNotNull() & (F.size(v) != expected_dim), 1)
+        .otherwise(0)
+        .alias("wrong_dim"),
+        F.when(v.isNotNull() & nonfinite, 1).otherwise(0).alias("nonfin"),
+        F.when(
+            v.isNotNull() & ~nonfinite & (sq <= zero_tol), 1
+        ).otherwise(0).alias("zero_norm"),
+        F.when(
+            v.isNotNull()
+            & (F.size(v) == expected_dim)
+            & ~nonfinite
+            & (sq > zero_tol),
+            norm,
+        ).alias("healthy_norm"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        F.sum("wrong_dim").cast("long").alias("n_wrong_dim"),
+        F.sum("nonfin").cast("long").alias("n_nonfinite"),
+        F.sum("zero_norm").cast("long").alias("n_zero_norm"),
+        F.round(F.avg("healthy_norm"), 6).alias("avg_norm"),
+        F.round(F.percentile(F.col("healthy_norm"), F.lit(0.5)), 6).alias(
+            "p50_norm"
+        ),
+    )

@@ -198,6 +198,22 @@ NOTES = {
         "joins, no second pass. Rule count scales the projection width, "
         "never the scan count."
     ),
+    "conversation_checks": (
+        "Transcript invariants: ONE conv_id hash aggregate (min/max/count/"
+        "distinct/min_by) plus an adjacent-pair self-join on (conv_id, "
+        "turn_idx+1) — both keyed on conv_id, so on a conv_id-bucketed "
+        "Iceberg table neither shuffles; no windowed lag(), so no "
+        "per-conversation sort. Violations melt via explode(structs) and "
+        "a filter — output is O(bad conversations)."
+    ),
+    "embedding_stats": (
+        "Single scan: per-row array folds (norm, finiteness, dim) in "
+        "whole-stage codegen feed one global aggregate. The percentile "
+        "term operates on 6dp-rounded healthy norms, so the exact-"
+        "percentile buffer holds doubles that are bit-identical across "
+        "engines; at 100 TB swap the percentile term for the t-digest "
+        "sketch exactly as numeric_profile does."
+    ),
     "srp_embedding_near_pairs": (
         "SRP LSH near-dup: 16 literal-array dot-product folds per row "
         "(whole-stage codegen, no Python, no shuffle) -> signature chunk "

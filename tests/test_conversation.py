@@ -1,0 +1,109 @@
+"""Conversation-structure validation + embedding-column health profile."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from professional_services_data_validator_spark.operators.conversation import (
+    conversation_checks,
+)
+from professional_services_data_validator_spark.operators.similarity import (
+    embedding_stats,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [
+            (c, t, r, tool, datetime.datetime(2026, 1, 1, 0, 0, s))
+            for c, t, r, tool, s in rows
+        ],
+        "conv_id string, turn_idx int, role string, tool string, "
+        "ts timestamp",
+    )
+
+
+def test_clean_conversation_emits_nothing(spark):
+    df = _mk(
+        spark,
+        [
+            ("c1", 0, "user", None, 1),
+            ("c1", 1, "assistant", None, 2),
+            ("c1", 2, "tool", "search", 3),
+            ("c1", 3, "assistant", None, 4),
+            ("c2", 0, "system", None, 1),
+            ("c2", 1, "user", None, 2),
+            ("c2", 2, "assistant", None, 3),
+        ],
+    )
+    assert conversation_checks(df).count() == 0
+
+
+def test_each_violation_class_detected(spark):
+    df = _mk(
+        spark,
+        [
+            # gap (0 then 2) + opens with assistant + tool set on non-tool
+            ("bad1", 0, "assistant", "x", 5),
+            ("bad1", 2, "user", None, 6),
+            # duplicate turn_idx
+            ("bad2", 0, "user", None, 1),
+            ("bad2", 0, "user", None, 1),
+            ("bad2", 1, "assistant", None, 2),
+            # disallowed transition (user -> user) + ts regression
+            ("bad3", 0, "user", None, 5),
+            ("bad3", 1, "user", None, 3),
+        ],
+    )
+    out = {
+        (r["conv_id"], r["check"]): r["detail"]
+        for r in conversation_checks(df).collect()
+    }
+    assert ("bad1", "contiguous") in out
+    assert out[("bad1", "opening_role")] == "opens with assistant"
+    assert ("bad1", "tool_role") in out
+    assert ("bad2", "contiguous") in out
+    assert out[("bad3", "role_transition")] == "1 disallowed transition(s)"
+    assert out[("bad3", "ts_monotonic")] == "1 timestamp regression(s)"
+    # no false positives on checks that hold
+    assert ("bad3", "contiguous") not in out
+    assert ("bad2", "role_transition") not in out
+
+
+def test_conversation_join_copartitioned(spark):
+    df = _mk(spark, [("c", 0, "user", None, 1), ("c", 1, "assistant", None, 2)])
+    plan = conversation_checks(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    # the adjacent-pair check is a join keyed on conv_id — no window sort
+    # over conversations
+    assert "Window" not in plan
+
+
+def test_embedding_stats_counts_and_norms(spark):
+    rows = [
+        (0, None),
+        (1, [1.0, 0.0, 0.0]),          # norm 1
+        (2, [3.0, 4.0, 0.0]),          # norm 5
+        (3, [0.0, 0.0, 0.0]),          # zero vector
+        (4, [1.0, float("nan"), 0.0]),  # non-finite
+        (5, [1.0, 1.0]),               # wrong dim (still finite, norm ok)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_stats(df, "vec_id", "embedding", expected_dim=3).collect()[0]
+    assert r["n_vecs"] == 6
+    assert r["n_null"] == 1
+    assert r["n_wrong_dim"] == 1
+    assert r["n_nonfinite"] == 1
+    assert r["n_zero_norm"] == 1
+    # healthy = ids 1, 2 -> norms 1 and 5
+    assert r["avg_norm"] == 3.0
+    assert r["p50_norm"] == 3.0
+
+
+def test_embedding_stats_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    plan = embedding_stats(df, "vec_id", "embedding", 2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1
