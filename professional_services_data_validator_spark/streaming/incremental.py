@@ -325,3 +325,76 @@ def stream_exact_dedup(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_expectations(
+    stream: DataFrame,
+    rules,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    window: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of operators.expectations.run_expectations: the same
+    declarative rules evaluated per event-time window, emitted once each
+    window closes (append mode + watermark).
+
+    Every rule kind lowers to an algebraic conditional aggregate, so the
+    streaming state per window is a handful of (sum, count) pairs; 'unique'
+    rules use approx_count_distinct (HLL — mergeable, bounded state; exact
+    distinct in streaming state would grow with cardinality, which is
+    precisely what a 10^12-turn stream cannot do). Report schema matches
+    the batch engine plus the window-start column, so verdicts route to the
+    same lineage table.
+    """
+    from ..config import consts
+    from ..operators.expectations import _pass_condition
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, e in enumerate(rules):
+        if e.kind == "unique":
+            aggs.append(
+                F.approx_count_distinct(e.column)
+                .cast("double")
+                .alias(f"__m{i}")
+            )
+            aggs.append(F.count(e.column).cast("double").alias(f"__t{i}"))
+        else:
+            aggs.append(
+                F.avg(
+                    F.when(_pass_condition(e), 1.0).otherwise(0.0)
+                ).alias(f"__m{i}")
+            )
+    wide = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*aggs)
+    )
+    structs = []
+    for i, e in enumerate(rules):
+        if e.kind == "unique":
+            obs = F.when(
+                F.col(f"__t{i}") > 0,
+                F.least(F.col(f"__m{i}") / F.col(f"__t{i}"), F.lit(1.0)),
+            ).otherwise(F.lit(1.0))
+        else:
+            obs = F.coalesce(F.col(f"__m{i}"), F.lit(1.0))
+        structs.append(
+            F.struct(
+                F.lit(e.rule_name).alias("rule_name"),
+                F.lit(e.kind).alias("rule_kind"),
+                F.lit(e.column).cast("string").alias("column"),
+                F.round(obs, 6).alias("observed"),
+                F.lit(float(e.threshold)).alias("threshold"),
+                F.when(
+                    F.round(obs, 6) >= F.lit(float(e.threshold)),
+                    F.lit(consts.VALIDATION_STATUS_SUCCESS),
+                )
+                .otherwise(F.lit(consts.VALIDATION_STATUS_FAIL))
+                .alias("validation_status"),
+            )
+        )
+    return wide.select(
+        F.col("w.start").alias("window_start"),
+        F.explode(F.array(*structs)).alias("r"),
+    ).select("window_start", "r.*")

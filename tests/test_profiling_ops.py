@@ -142,8 +142,13 @@ def test_numeric_profile_approx_same_schema_close_values(spark, transcripts):
         assert e[role]["n"] == a[role]["n"]
 
 
-def test_numeric_profile_single_aggregate_pass(spark, transcripts):
-    t = transcripts.select("role", F.length("text").alias("x"))
+def test_numeric_profile_single_aggregate_pass(spark):
+    # plain source (the transcripts fixture's derivation DAG would add its
+    # own exchanges and its plan depends on session cache state)
+    t = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("role"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    )
     plan = numeric_profile(t, ["role"], "x", mode="approx")._jdf \
         .queryExecution().executedPlan().toString()
     # ONE shuffle for the groupBy (partial + final aggregate), none extra

@@ -254,3 +254,57 @@ def test_stream_exact_dedup_reports_duplicates(spark):
         # its duplicate with one prior. batch2: ("c", 7) repeats "hello"
         # with TWO priors (state crossed the microbatch). Uniques silent.
         assert got == {("a", 1): 1, ("c", 7): 2}
+
+
+def test_stream_expectations_matches_batch(spark, transcripts):
+    from professional_services_data_validator_spark.operators.expectations import (
+        Expectation,
+        run_expectations,
+    )
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_expectations,
+    )
+
+    rules = [
+        Expectation("not_null", "tool", threshold=0.95),
+        Expectation("isin", "role",
+                    values=("user", "assistant", "system", "tool")),
+        Expectation("unique", "turn_idx", threshold=0.0, name="uniq_turn"),
+        Expectation("custom_sql", expr="length(text) > 0", name="net"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        stream = _file_stream(spark, transcripts, d)
+        out = stream_expectations(stream, rules, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("exp_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("exp_out").collect()
+        days = {r["window_start"] for r in got}
+        assert len(days) > 1  # windowed, not global
+        assert len(got) == len(days) * len(rules)
+        # per-window observed matches the batch engine run on that window's
+        # rows (approx unique == exact at these per-day cardinalities except
+        # HLL error; compare the algebraic rules exactly)
+        one_day = sorted(days)[0]
+        batch_rows = transcripts.filter(
+            F.col("ts").cast("timestamp").cast("date")
+            == F.lit(one_day).cast("date")
+        )
+        batch = {
+            r["rule_name"]: r["observed"]
+            for r in run_expectations(batch_rows, rules, approx=True).collect()
+        }
+        stream_day = {
+            r["rule_name"]: r["observed"]
+            for r in got
+            if r["window_start"] == one_day
+        }
+        for name in ("not_null__tool", "isin__role", "net", "uniq_turn"):
+            assert abs(stream_day[name] - batch[name]) < 1e-9, name
+        # statuses present and schema matches batch + window_start
+        assert {r["validation_status"] for r in got} <= {"success", "fail"}
