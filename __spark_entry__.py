@@ -2523,7 +2523,8 @@ WITH toks AS (
 sh AS (
   SELECT DISTINCT id,
     array_to_string(list_slice(t, i + 1, i + 8), ' ') AS shingle
-  FROM toks, UNNEST(range(0, greatest(len(t) - 8, 0) + 1)) AS u(i)),
+  FROM toks, UNNEST(range(0, greatest(len(t) - 8, 0) + 1)) AS u(i)
+  WHERE len(t) >= 8),
 freq AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle),
 per_doc AS (
   SELECT sh.id, count(*) AS n_shingles,

@@ -156,20 +156,24 @@ NOTES = {
         "respectively. Verdict is a pure projection."
     ),
     "repetition_stats": (
-        "Gopher repetition filters: one n-gram explode per signal, "
-        "aggregated by (id, gram) then id — both hash aggregates partial-"
-        "agg'd map-side; no window (top count = max over per-gram counts). "
-        "Key space is bounded by grams per doc, so the exchanges carry "
-        "O(docs x grams/doc) short rows. At 100 TB this is the token-"
-        "explode shuffle every text metric already pays, nothing more."
+        "Gopher repetition filters as a MAP-ONLY plan: per doc, hash each "
+        "n-gram to 8 bytes inside the row, sort the long array, and one "
+        "fold over the sorted array yields the longest equal-run (top "
+        "count) and summed >1 runs (duplicate occurrences). Zero Exchange, "
+        "one scan — a per-document metric never needs a shuffle. Rewrite "
+        "of the round-3 explode + (id, gram) aggregate form: 4.5 s -> "
+        "1.7 s at sf0.1."
     ),
     "cross_doc_spans": (
-        "Lee-et-al duplicated-span metric: the corpus-wide frequency "
-        "aggregate groups by xxhash64(shingle) — the exchange carries 8-"
-        "byte keys, not k-word strings (the binary row-hash trick). "
-        "Shingles are per-doc distinct so per-key counts are bounded by "
-        "doc count; the doc-side rollup re-joins on the same hash key, so "
-        "AQE can keep it in the aggregation's partitioning."
+        "Lee-et-al duplicated-span metric: per-doc shingle distinctness is "
+        "ROW-LOCAL (hash each k-gram to 8 bytes under transform, "
+        "array_distinct, THEN explode) — only deduplicated longs ever "
+        "leave the row; the single O(data) exchange is the corpus "
+        "frequency groupBy over those longs (the binary row-hash trick). "
+        "Rewrite of the shingles().distinct() form, which shuffled full "
+        "k-gram strings twice: 4.2 s -> 1.4 s at sf0.1. The doc-side "
+        "rollup re-joins on the same hash key, so AQE keeps the "
+        "aggregation's partitioning."
     ),
     "pii_scrub": (
         "Pure map-only Project: regexp_extract_all + regexp_replace in "

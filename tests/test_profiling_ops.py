@@ -180,3 +180,11 @@ def test_chi2_category_only_on_one_side(spark):
     t = spark.createDataFrame([("a",), ("c",)], "c string")
     r = chi2_categorical(s, t, F.col("c")).collect()[0]
     assert r["dof"] == 2 and r["chi2"] > 0  # no div-by-zero on absent cells
+
+
+def test_repetition_stats_map_only(spark):
+    df = spark.createDataFrame([(1, "a b a b")], "id long, text string")
+    plan = repetition_stats(df, "id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # per-doc metric: zero shuffle, one scan (the sorted-run fold)
+    assert "Exchange" not in plan
