@@ -591,6 +591,9 @@ def _run_config_blocks(args: argparse.Namespace, cfg: dict) -> int:
             v = block.pop(k, None)
             if v and not getattr(b_args, k, None):
                 setattr(b_args, k, v)
+        if block.get("type") == "Expectations":
+            rc |= _run_expect_block(b_args, block)
+            continue
         if block.pop("cast_to_bigint", False):
             block["_cast_to_bigint"] = True
         star = block.pop("star_aggregates", None)
@@ -1092,21 +1095,13 @@ def _run_curate(args: argparse.Namespace) -> int:
     return 0
 
 
-def _run_expect(args: argparse.Namespace) -> int:
-    """expect: evaluate a YAML/JSON rule list in one aggregate pass and
-    print/persist the long-format report. Exit code 1 when any rule fails
-    (the `run` command's fail-count convention)."""
-    import yaml
+def _rules_from_list(raw) -> list:
+    """YAML/JSON rule dicts -> Expectation objects (shared by the `expect`
+    command and `type: Expectations` config blocks)."""
+    from .operators.expectations import Expectation
 
-    from .operators.expectations import Expectation, run_expectations
-    from .session import get_spark
-    from .sources.readers import read_file
-    from .sources.sinks import report_to_text
-
-    with open(args.rules) as f:
-        raw = yaml.safe_load(f)
     if not isinstance(raw, list):
-        raise SystemExit("--rules must be a YAML/JSON LIST of rule dicts")
+        raise SystemExit("expectations need a LIST of rule dicts")
     rules = []
     for d in raw:
         if not isinstance(d, dict) or "kind" not in d:
@@ -1117,6 +1112,61 @@ def _run_expect(args: argparse.Namespace) -> int:
             rules.append(Expectation(**d))
         except TypeError as exc:
             raise SystemExit(f"bad rule {d!r}: {exc}")
+    return rules
+
+
+def _run_expect_block(args: argparse.Namespace, block: dict) -> int:
+    """A `type: Expectations` block inside a validation config: single-table
+    rule evaluation wired into the same configs-run / run surface as the
+    two-table validations (rules:, approx:, plus the shared IO/report
+    flags). Exit 1 when any rule fails."""
+    from .operators.expectations import run_expectations
+    from .session import get_spark
+    from .sources.sinks import report_to_text
+
+    rules = _rules_from_list(block.get("rules"))
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("psdv-expect")
+    try:
+        source = _load_side(spark, args.source_path, args.source_table)
+        report = run_expectations(
+            source, rules, approx=bool(block.get("approx"))
+        ).persist()
+        try:
+            if getattr(args, "output", None):
+                report.write.mode("overwrite").parquet(args.output)
+            print(
+                report_to_text(
+                    report,
+                    status_filter=getattr(args, "filter_status", None),
+                    cols=report.columns,
+                    fmt=getattr(args, "format", None) or "table",
+                )
+            )
+            n_fail = report.filter(
+                F.col("validation_status") == "fail"
+            ).count()
+        finally:
+            report.unpersist()
+    finally:
+        if not preexisting:
+            spark.stop()
+    return 1 if n_fail else 0
+
+
+def _run_expect(args: argparse.Namespace) -> int:
+    """expect: evaluate a YAML/JSON rule list in one aggregate pass and
+    print/persist the long-format report. Exit code 1 when any rule fails
+    (the `run` command's fail-count convention)."""
+    import yaml
+
+    from .operators.expectations import run_expectations
+    from .session import get_spark
+    from .sources.sinks import report_to_text
+
+    with open(args.rules) as f:
+        raw = yaml.safe_load(f)
+    rules = _rules_from_list(raw)
 
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("psdv-expect")

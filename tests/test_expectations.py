@@ -145,3 +145,36 @@ def test_cli_expect_command(spark, tmp_path, capsys):
     assert rc2 == 1
     text2 = capsys.readouterr().out
     assert "unique__id" in text2 and "not_null__cat" not in text2
+
+
+def test_expectations_yaml_config_block(spark, tmp_path, capsys):
+    import yaml
+
+    from professional_services_data_validator_spark.cli import main
+
+    src = tmp_path / "t.parquet"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, cat string"
+    ).write.parquet(str(src))
+    cfg = {
+        "source_path": str(src),
+        "validations": [
+            {
+                "type": "Expectations",
+                "rules": [
+                    {"kind": "not_null", "column": "cat", "threshold": 0.5},
+                    {"kind": "unique", "column": "id"},
+                ],
+            }
+        ],
+    }
+    cp = tmp_path / "cfg.yaml"
+    cp.write_text(yaml.safe_dump(cfg))
+    rc = main(["configs", "run", "--config-file", str(cp)])
+    assert rc == 0  # both rules pass
+    out = capsys.readouterr().out
+    assert "not_null__cat" in out and "unique__id" in out
+    # failing threshold propagates the exit code through configs run
+    cfg["validations"][0]["rules"][0]["threshold"] = 0.9
+    cp.write_text(yaml.safe_dump(cfg))
+    assert main(["configs", "run", "--config-file", str(cp)]) == 1
