@@ -2912,3 +2912,93 @@ FROM scored
 
 _TRAINING_QUERIES["embedding_stats"] = q_embedding_stats
 _TRAINING_ORACLES["embedding_stats"] = _SQL_EMBEDDING_STATS
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the raw event log (6h gap): per-session
+    summaries. ONE shuffle on user_id; lag + running counter share the
+    window partitioning."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.temporal import (
+        sessionize,
+    )
+
+    return sessionize(
+        spark.table("events"), "user_id", "ts",
+        gap_seconds=6 * 3600, order_tiebreak="event_id",
+    ).orderBy("key", "session_idx")
+
+
+_SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep, ts
+  FROM events),
+lagged AS (
+  SELECT user_id, ep, ts, event_id,
+    lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e),
+marked AS (
+  SELECT user_id, ep, ts, event_id,
+    CASE WHEN prev IS NULL OR ep - prev > 21600 THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+assigned AS (
+  SELECT user_id, ep,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked)
+SELECT user_id AS key, CAST(session_idx AS BIGINT) AS session_idx,
+  count(*) AS n_events,
+  min(ep) AS start_epoch, max(ep) AS end_epoch
+FROM assigned GROUP BY user_id, session_idx
+ORDER BY key, session_idx
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): each purchase gets the latest click
+    of the same user at or before it — tagged-union + per-key ordered
+    window (Spark has no native ASOF JOIN; this is the O(n log n)-per-key
+    construction, never the O(l x r) range join). Deterministic on ts ties
+    via the event_id tiebreak, which the oracle replays."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = spark.table("events")
+    out = asof_join(
+        ev.filter("event_type = 'purchase'"),
+        ev.filter("event_type = 'click'"),
+        by="user_id", ts="ts",
+        left_cols=["event_id"],
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "event_id", "ts_epoch", "asof_ts_epoch",
+        "asof_event_id", F.round("asof_value", 6).alias("asof_value"),
+    ).orderBy("user_id", "event_id")
+
+
+_SQL_ASOF = """
+SELECT l.user_id, l.event_id,
+  CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+  r.asof_ts_epoch, r.asof_event_id, r.asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN LATERAL (
+  SELECT CAST(floor(epoch(c.ts)) AS BIGINT) AS asof_ts_epoch,
+         c.event_id AS asof_event_id,
+         round(c.value, 6) AS asof_value
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = l.user_id AND c.ts <= l.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) r ON true
+ORDER BY l.user_id, l.event_id
+"""
+
+
+_TRAINING_QUERIES["sessionize_events"] = q_sessionize
+_TRAINING_ORACLES["sessionize_events"] = _SQL_SESSIONIZE
+_TRAINING_QUERIES["asof_purchase_click"] = q_asof_join
+_TRAINING_ORACLES["asof_purchase_click"] = _SQL_ASOF

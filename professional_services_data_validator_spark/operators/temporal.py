@@ -1,0 +1,152 @@
+"""Temporal operators: gap-based sessionization and as-of joins.
+
+No reference analog (the reference validates static tables); BASELINE
+training-pipeline extensions — agent-transcript and event-log pipelines
+need both: sessionization turns a raw event stream into conversation-like
+units, and the as-of join ("most recent right row at or before this left
+row") attaches slowly-changing context (model version, config snapshot,
+price) to events. Spark has no native ASOF JOIN (DuckDB/Pandas do); the
+standard Spark-first construction is a tagged UNION + one per-key ordered
+window, which is what ``asof_join`` implements:
+
+- one shuffle keyed on the ``by`` column (both inputs together),
+- per key, sort by (ts, side-tag, tiebreak) with right rows BEFORE left
+  rows at equal ts (inclusive as-of), and
+- ``last(right_payload, ignorenulls)`` over the unbounded-preceding frame
+  carries the latest right row forward to each left row.
+
+That is O(n log n) per key — the same cost class as any windowed lag —
+and never materializes the O(left x right) inequality join a naive
+``l.ts >= r.ts`` range join would. Determinism on duplicate right
+timestamps: the tiebreak column makes "latest" well-defined (max
+(ts, tiebreak)), which the DuckDB oracle replays exactly (arg_max), so
+results are hash-comparable cross-engine.
+
+At 100 TB: the window state is one row per key (the carried payload), and
+keys (users / conversations) shard across the cluster; skewed hot keys are
+the same AQE-skew story as every other per-key window in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key gap sessionization: a new session starts when the time since
+    the previous event exceeds ``gap_seconds``. Returns the per-SESSION
+    summary (the per-event assignment is the intermediate, exposed by the
+    summary's deterministic definition):
+
+      (key, session_idx 1-based, n_events, start_epoch, end_epoch)
+
+    ONE shuffle on the key; the lag and the running session counter are two
+    frames over the same window partitioning, so no second exchange. The
+    session boundary predicate uses floor-epoch seconds — engine-portable
+    integer arithmetic (the house timestamp discipline).
+    """
+    tb = [F.col(order_tiebreak)] if order_tiebreak else []
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), *tb)
+    epoch = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double")
+    ).cast("long")
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev.isNull() | ((epoch - prev) > gap_seconds), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # group by the ORIGINAL key column (not an alias): Catalyst then sees
+    # the window's hashpartitioning(key_col) satisfies the re-aggregation's
+    # clustering and plans ONE exchange total (aliasing first inserted a
+    # second exchange on (key, session_idx))
+    assigned = df.select(
+        F.col(key_col),
+        epoch.alias("__e"),
+        F.sum(is_new).over(wcum).alias("session_idx"),
+    )
+    return (
+        assigned.groupBy(key_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__e").alias("start_epoch"),
+            F.max("__e").alias("end_epoch"),
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            "start_epoch",
+            "end_epoch",
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    tiebreak: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward inclusive as-of join: for every left row, the right row of
+    the same ``by`` key with the greatest (ts, tiebreak) such that
+    right.ts <= left.ts; NULL payload when no right row precedes.
+
+    Output: by, <left_cols>, left ts as ``ts_epoch``, and each requested
+    right column as ``{prefix}{col}`` plus ``{prefix}ts_epoch``.
+    ``tiebreak`` must be a right column that makes ordering total (e.g. a
+    PK) — that is what makes the result deterministic and oracle-able.
+    """
+    payload = F.struct(
+        F.floor(F.col(ts).cast("timestamp").cast("double"))
+        .cast("long")
+        .alias("ts_epoch"),
+        F.col(tiebreak).alias("__tb"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(by).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        payload.alias("__p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left_cols],
+    )
+    l = left.select(
+        F.col(by).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn(
+        "__asof", F.last("__p", ignorenulls=True).over(w)
+    )
+    out_cols = [
+        F.col("__k").alias(by),
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        F.floor(F.col("__ts").cast("timestamp").cast("double"))
+        .cast("long")
+        .alias("ts_epoch"),
+        F.col("__asof.ts_epoch").alias(f"{prefix}ts_epoch"),
+        *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    ]
+    return carried.filter(F.col("__side") == 1).select(*out_cols)

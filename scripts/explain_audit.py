@@ -218,6 +218,22 @@ NOTES = {
         "engines; at 100 TB swap the percentile term for the t-digest "
         "sketch exactly as numeric_profile does."
     ),
+    "sessionize_events": (
+        "Gap sessionization: ONE exchange on the key — the lag window, the "
+        "running session counter, and the per-(key, session) re-aggregation "
+        "all reuse the same hashpartitioning (grouping on the original "
+        "column, not an alias, so EnsureRequirements recognizes the "
+        "clustering). Window state is one row per key."
+    ),
+    "asof_purchase_click": (
+        "As-of join via tagged UNION + per-key ordered window: no Join "
+        "node in the plan at all, so the O(left x right) inequality join "
+        "can never materialize; cost is the same sort-within-key as any "
+        "windowed lag, and the carried state is one payload struct per "
+        "key. Right rows sort before left at equal ts (inclusive as-of); "
+        "a PK tiebreak makes duplicate-ts resolution deterministic and "
+        "therefore oracle-able."
+    ),
     "srp_embedding_near_pairs": (
         "SRP LSH near-dup: 16 literal-array dot-product folds per row "
         "(whole-stage codegen, no Python, no shuffle) -> signature chunk "
