@@ -3002,3 +3002,59 @@ _TRAINING_QUERIES["sessionize_events"] = q_sessionize
 _TRAINING_ORACLES["sessionize_events"] = _SQL_SESSIONIZE
 _TRAINING_QUERIES["asof_purchase_click"] = q_asof_join
 _TRAINING_ORACLES["asof_purchase_click"] = _SQL_ASOF
+
+
+def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned 1-Wasserstein drift on turn text length per day — the
+    magnitude-sensitive complement to the KS/PSI/chi2 set, same
+    group-partitioned cumsum plan as drift_ks_binned_by_day."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        emd_binned,
+    )
+
+    src = spark.table("transcripts").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.length("text").alias("len"),
+    )
+    tgt = spark.table("transcripts_target").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.length("text").alias("len"),
+    )
+    return emd_binned(
+        src, tgt, F.col("len"), bin_width=1, group_cols=["day"]
+    ).orderBy("day")
+
+
+_SQL_DRIFT_EMD = f"""{_CTES},
+s AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             length(text) AS v, count(*) AS n_s
+      FROM transcripts GROUP BY 1, 2),
+t AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             length(text) AS v, count(*) AS n_t
+      FROM transcripts_target GROUP BY 1, 2),
+j AS (SELECT coalesce(s.day, t.day) AS day, coalesce(s.v, t.v) AS v,
+             coalesce(n_s, 0) AS n_s, coalesce(n_t, 0) AS n_t
+      FROM s FULL OUTER JOIN t ON s.day = t.day AND s.v = t.v),
+cum AS (
+  SELECT day, v,
+    lead(v) OVER (PARTITION BY day ORDER BY v) - v AS width,
+    sum(n_s) OVER (PARTITION BY day ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS c_s,
+    sum(n_t) OVER (PARTITION BY day ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS c_t,
+    sum(n_s) OVER (PARTITION BY day) AS tot_s,
+    sum(n_t) OVER (PARTITION BY day) AS tot_t
+  FROM j)
+SELECT day,
+  round(sum(CASE WHEN width IS NOT NULL
+        THEN abs(c_s * 1.0 / tot_s - c_t * 1.0 / tot_t) * width
+        ELSE 0.0 END), 6) AS emd,
+  CAST(max(tot_s) AS BIGINT) AS n_source,
+  CAST(max(tot_t) AS BIGINT) AS n_target
+FROM cum GROUP BY day ORDER BY day
+"""
+
+
+_TRAINING_QUERIES["drift_emd_by_day"] = q_drift_emd
+_TRAINING_ORACLES["drift_emd_by_day"] = _SQL_DRIFT_EMD

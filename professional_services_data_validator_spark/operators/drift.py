@@ -300,3 +300,62 @@ def chi2_categorical(
         F.max("tot_s").cast("long").alias("n_source"),
         F.max("tot_t").cast("long").alias("n_target"),
     )
+
+
+def emd_binned(
+    source: DataFrame,
+    target: DataFrame,
+    value_col: Column,
+    bin_width: int = 1,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Binned 1-Wasserstein (earth-mover) distance — the fourth classical
+    drift statistic: where KS reports the WORST CDF gap and PSI/chi2 weigh
+    per-category divergence, EMD integrates |F_s(x) - F_t(x)| dx, so it
+    sees by HOW MUCH the mass moved, not just that it moved (a +1 shift of
+    every value moves EMD by exactly 1 but barely moves PSI on wide bins).
+
+    Identical plan shape to ks_binned: per-bin counts each side, full-outer
+    join on (group, bin), cumulative sums over the bin-ordered window
+    partitioned by group, then sum of |cum_p - cum_q| x bin_width. Exact
+    for integer values at bin_width=1. Output per group:
+    (group..., emd double 6dp, n_source, n_target).
+    """
+    b = (F.floor(value_col / F.lit(bin_width)) * F.lit(bin_width)).alias("v")
+    gcols = group_cols or []
+    s = source.groupBy(*gcols, b).agg(F.count(F.lit(1)).alias("n_s"))
+    t = target.groupBy(*gcols, b).agg(F.count(F.lit(1)).alias("n_t"))
+    joined = s.join(t, gcols + ["v"], "full_outer").fillna(0, ["n_s", "n_t"])
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*gcols)
+    # the |CDF gap| at bin v applies over the interval up to the NEXT bin:
+    # width = lead(v) - v (the final bin contributes nothing: both CDFs
+    # are 1 there)
+    nxt = F.lead("v").over(Window.partitionBy(*gcols).orderBy("v"))
+    cum = joined.select(
+        *gcols,
+        F.col("v"),
+        (nxt - F.col("v")).alias("width"),
+        F.sum("n_s").over(w).alias("c_s"),
+        F.sum("n_t").over(w).alias("c_t"),
+        F.sum("n_s").over(wt).alias("tot_s"),
+        F.sum("n_t").over(wt).alias("tot_t"),
+    )
+    gap = F.abs(
+        F.col("c_s") / F.col("tot_s") - F.col("c_t") / F.col("tot_t")
+    )
+    return cum.groupBy(*gcols).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("width").isNotNull(), gap * F.col("width"))
+                .otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("emd"),
+        F.max("tot_s").cast("long").alias("n_source"),
+        F.max("tot_t").cast("long").alias("n_target"),
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from professional_services_data_validator_spark.operators.drift import (
     drift_grouped,
+    emd_binned,
     ks_binned,
     ks_statistic,
     psi,
@@ -96,6 +97,51 @@ def test_drift_grouped_vectorized(spark, transcripts):
     exact = ks_statistic(s_day, t_day, F.length("text")).collect()[0]
     got = [r for r in out if r.group_key == day][0]
     assert abs(got.ks_stat - exact.ks_stat) < 1e-12
+
+
+def test_emd_identical_is_zero(spark, transcripts):
+    got = emd_binned(transcripts, transcripts, F.length("text")).collect()[0]
+    assert got.emd == 0.0
+
+
+def test_emd_shift_equals_shift_size(spark, transcripts):
+    # 1-Wasserstein of (X, X + k) is exactly k — the magnitude property
+    # KS cannot express (KS saturates at its CDF-gap max regardless of k).
+    shifted = transcripts.withColumn(
+        "text", F.concat(F.col("text"), F.lit("x" * 7))
+    )
+    got = emd_binned(transcripts, shifted, F.length("text")).collect()[0]
+    assert abs(got.emd - 7.0) < 1e-9
+    assert got.n_source == got.n_target == 1000
+
+
+def test_emd_matches_numpy(spark, transcripts):
+    tgt = spark.table("transcripts_target")
+    got = emd_binned(transcripts, tgt, F.length("text")).collect()[0]
+    a = np.array(
+        [r[0] for r in transcripts.select(F.length("text")).collect()], float
+    )
+    b = np.array(
+        [r[0] for r in tgt.select(F.length("text")).collect()], float
+    )
+    # np analogue: integrate |F_a - F_b| over the union grid
+    grid = np.sort(np.unique(np.concatenate([a, b])))
+    ca = np.searchsorted(np.sort(a), grid, "right") / len(a)
+    cb = np.searchsorted(np.sort(b), grid, "right") / len(b)
+    expected = float(np.sum(np.abs(ca - cb)[:-1] * np.diff(grid)))
+    assert abs(got.emd - round(expected, 6)) < 1e-6
+
+
+def test_emd_grouped_keys(spark, transcripts):
+    tgt = spark.table("transcripts_target")
+    s = transcripts.select(F.col("role"), F.length("text").alias("len"))
+    t = tgt.select(F.col("role"), F.length("text").alias("len"))
+    out = emd_binned(s, t, F.col("len"), group_cols=["role"]).collect()
+    roles = {r.role for r in out}
+    assert roles == {
+        r.role for r in transcripts.select("role").distinct().collect()
+    }
+    assert all(r.emd >= 0.0 for r in out)
 
 
 def test_schema_matching_reference_semantics():
