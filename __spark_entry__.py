@@ -3058,3 +3058,80 @@ FROM cum GROUP BY day ORDER BY day
 
 _TRAINING_QUERIES["drift_emd_by_day"] = q_drift_emd
 _TRAINING_ORACLES["drift_emd_by_day"] = _SQL_DRIFT_EMD
+
+
+def q_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column cardinality/frequency profile over the transcript
+    columns: melt -> two-level agg (per-value counts, then per-column fold)
+    so the exact distinct count shuffles one row per DISTINCT value, not
+    per input row. ts is excluded from the profile set: Spark and DuckDB
+    render timestamp->string with different fractional-second trimming, so
+    its modal VALUE (not the counts) would diverge textually."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_profile,
+    )
+
+    return categorical_profile(
+        spark.table("transcripts"),
+        ["conv_id", "turn_idx", "role", "text", "tool"],
+    )
+
+
+def _categorical_profile_oracle_sql() -> str:
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+SELECT '{c}' AS "column", s.n_distinct, s.n_null, t.top_value, t.top_count
+FROM (
+  SELECT CAST(count(*) FILTER (value IS NOT NULL) AS BIGINT) AS n_distinct,
+         CAST(coalesce(sum(cnt) FILTER (value IS NULL), 0) AS BIGINT) AS n_null
+  FROM (SELECT CAST({c} AS VARCHAR) AS value, count(*) AS cnt
+        FROM transcripts GROUP BY 1)
+) s CROSS JOIN (
+  SELECT value AS top_value, CAST(cnt AS BIGINT) AS top_count
+  FROM (SELECT CAST({c} AS VARCHAR) AS value, count(*) AS cnt
+        FROM transcripts GROUP BY 1)
+  WHERE value IS NOT NULL
+  ORDER BY cnt DESC, value DESC LIMIT 1
+) t""")
+    return (
+        _CTES
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(blocks)
+        + '\n) ORDER BY "column"'
+    )
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical role->role Markov transition matrix under stable
+    turn ordering (the BASELINE per-row invariant): adjacent pairs via the
+    co-partitioned (conv_id, turn_idx+1) self-join, no window sort."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.conversation import (
+        role_transition_matrix,
+    )
+
+    return role_transition_matrix(spark.table("transcripts"))
+
+
+_SQL_ROLE_TRANSITIONS = f"""{_CTES},
+pairs AS (
+  SELECT a.role AS prev_role, b.role AS next_role
+  FROM transcripts a
+  JOIN transcripts b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1),
+cells AS (
+  SELECT prev_role, next_role, count(*) AS n_pairs
+  FROM pairs GROUP BY 1, 2)
+SELECT prev_role, next_role, CAST(n_pairs AS BIGINT) AS n_pairs,
+  round(n_pairs * 1.0 / sum(n_pairs) OVER (PARTITION BY prev_role), 6) AS p
+FROM cells ORDER BY prev_role, next_role
+"""
+
+
+_TRAINING_QUERIES["categorical_profile"] = q_categorical_profile
+_TRAINING_ORACLES["categorical_profile"] = _categorical_profile_oracle_sql()
+_TRAINING_QUERIES["role_transitions"] = q_role_transitions
+_TRAINING_ORACLES["role_transitions"] = _SQL_ROLE_TRANSITIONS

@@ -237,3 +237,107 @@ def numeric_profile(
         for i, p in enumerate(percentiles)
     ]
     return out.select(*group_cols, "n", "vmin", "vmax", "avg", "std", *pcols)
+
+
+def categorical_profile(
+    df: DataFrame,
+    columns: list[str],
+    mode: str = "exact",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column cardinality + frequency profile: exact distinct count,
+    null count, and the modal (most frequent) value with its count — the
+    categorical complement to ``numeric_profile`` (the reference's
+    aggregate surface stops at count/min/max/sum/avg/std/bit_xor,
+    config_manager.py:871; cardinality profiling is a data-quality
+    extension every profiler ships).
+
+    Plan, ``mode='exact'``: melt the selected columns to long format
+    (column, value-as-string) via explode(array(structs)) — map-side only,
+    no shuffle — then TWO-LEVEL aggregation: groupBy (column, value) count
+    (shuffle keyed on the value space, partial map-side combine collapses
+    repeats before the exchange), then groupBy column to fold per-value
+    counts into (n_distinct, n_null, top_value, top_count). The second
+    shuffle carries one row per DISTINCT value, not per input row — the
+    scalable exact-distinct shape. Modal tie-break is deterministic:
+    max_by over (count, value) picks the lexicographically largest among
+    tied counts, so results are reproducible and oracle-able.
+
+    ``mode='approx'`` is the 100-TB path when even the distinct-value
+    stream is huge: ONE aggregation pass with HyperLogLog++
+    (approx_count_distinct at relative error ``rsd``) per column and no
+    modal value (frequency needs the exact pass). Same output schema;
+    top_value/top_count come back NULL.
+
+    Output: (column, n_distinct, n_null, top_value, top_count),
+    one row per profiled column, ordered by column name.
+    """
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "approx":
+        aggs = []
+        for c in columns:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd).alias(f"__d_{c}")
+            )
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}")
+            )
+        wide = df.agg(*aggs)
+        longs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+                    F.col(f"__n_{c}").cast("long").alias("n_null"),
+                )
+                for c in columns
+            ]
+        )
+        return (
+            wide.select(F.explode(longs).alias("p"))
+            .select(
+                "p.column",
+                "p.n_distinct",
+                "p.n_null",
+                F.lit(None).cast("string").alias("top_value"),
+                F.lit(None).cast("long").alias("top_count"),
+            )
+            .orderBy("column")
+        )
+
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.column", "cv.value")
+    per_value = melted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nn = F.col("value").isNotNull()
+    return (
+        per_value.groupBy("column")
+        .agg(
+            F.count(F.when(nn, 1)).cast("long").alias("n_distinct"),
+            F.coalesce(
+                F.sum(F.when(~nn, F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("n_null"),
+            F.max_by(
+                F.col("value"),
+                F.when(nn, F.struct(F.col("cnt"), F.col("value"))),
+            ).alias("top_value"),
+            F.max_by(
+                F.col("cnt"),
+                F.when(nn, F.struct(F.col("cnt"), F.col("value"))),
+            ).cast("long").alias("top_count"),
+        )
+        .orderBy("column")
+    )

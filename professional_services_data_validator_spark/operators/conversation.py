@@ -193,3 +193,48 @@ def conversation_checks(
         F.col("c.check").alias("check"),
         F.col("c.detail").alias("detail"),
     )
+
+
+def role_transition_matrix(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Empirical Markov transition matrix over roles: for every adjacent
+    turn pair within a conversation (under the stable turn_idx order the
+    BASELINE invariant mandates), count (prev_role -> next_role) edges and
+    the row-normalized transition probability.
+
+    Same scale shape as conversation_checks: adjacent pairs come from the
+    equi-join on (conv_id, turn_idx + 1) — co-partitioned on conv_id
+    (shuffle-free with the table bucketed by conv_id, AQE splits hot
+    conversations), NO per-conversation window sort. The matrix itself is
+    a groupBy over at most |roles|^2 cells, so the second aggregation is
+    trivially broadcast-sized; the probability denominator reuses those
+    cells via a window over prev_role (|roles|^2 rows, not the corpus).
+
+    Output: (prev_role, next_role, n_pairs, p 6dp) ordered by
+    (prev_role, next_role).
+    """
+    from pyspark.sql import Window
+
+    conv, turn, role = F.col(conv_col), F.col(turn_col), F.col(role_col)
+    left = df.select(
+        conv.alias("conv_id"), turn.alias("t"), role.alias("prev_role")
+    )
+    right = df.select(
+        conv.alias("conv_id"), (turn - 1).alias("t"), role.alias("next_role")
+    )
+    cells = (
+        left.join(right, ["conv_id", "t"])
+        .groupBy("prev_role", "next_role")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = F.sum("n_pairs").over(Window.partitionBy("prev_role"))
+    return cells.select(
+        "prev_role",
+        "next_role",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("n_pairs") / tot, 6).alias("p"),
+    ).orderBy("prev_role", "next_role")

@@ -107,3 +107,49 @@ def test_embedding_stats_single_pass(spark):
     plan = embedding_stats(df, "vec_id", "embedding", 2)._jdf \
         .queryExecution().executedPlan().toString()
     assert plan.count("Scan") == 1
+
+
+def test_role_transition_matrix_counts_and_probs(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        role_transition_matrix,
+    )
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+        ("c1", 3, "assistant"),
+        ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "tool"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {(r.prev_role, r.next_role): r for r in role_transition_matrix(df).collect()}
+    assert out[("user", "assistant")].n_pairs == 3
+    assert out[("assistant", "user")].n_pairs == 1
+    assert out[("assistant", "tool")].n_pairs == 1
+    # row-normalized: assistant -> {user: .5, tool: .5}
+    assert out[("assistant", "user")].p == 0.5
+    assert out[("assistant", "tool")].p == 0.5
+    assert out[("user", "assistant")].p == 1.0
+    # no cross-conversation edge (c1 turn 3 -> c2 turn 0 must not pair)
+    assert ("assistant", "user") in out and len(out) == 3
+
+
+def test_role_transition_matrix_no_window_sort(spark):
+    """Adjacent pairs come from the co-partitioned self-join; the only
+    sort in the plan is the final output ORDER BY over |roles|^2 cells,
+    never a per-conversation window sort on the corpus side."""
+    from professional_services_data_validator_spark.operators.conversation import (
+        role_transition_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user"), ("c1", 1, "assistant")],
+        "conv_id string, turn_idx int, role string",
+    )
+    q = role_transition_matrix(df)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE window (the denominator over aggregated cells) and it
+    # sits ABOVE the aggregation, not over the raw pair stream
+    assert plan.count("Window") == 1
+    agg_pos = plan.find("n_pairs")
+    assert agg_pos != -1
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.index("Window") < opt.index("Join")  # window above the join/agg subtree

@@ -188,3 +188,70 @@ def test_repetition_stats_map_only(spark):
         .executedPlan().toString()
     # per-doc metric: zero shuffle, one scan (the sorted-run fold)
     assert "Exchange" not in plan
+
+
+def test_categorical_profile_exact_known_values(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, None),
+            ("b", 1, "x"),
+            ("b", 2, "x"),
+            (None, 2, "y"),
+            (None, None, "y"),
+        ],
+        "s string, i int, t string",
+    )
+    rows = {r["column"]: r for r in categorical_profile(df, ["s", "i", "t"]).collect()}
+    assert rows["s"].n_distinct == 2 and rows["s"].n_null == 2
+    assert rows["s"].top_value == "b" and rows["s"].top_count == 2
+    assert rows["i"].n_distinct == 2 and rows["i"].n_null == 1
+    # tie 1=2x, 2=2x -> lexicographically largest string wins ('2')
+    assert rows["i"].top_value == "2" and rows["i"].top_count == 2
+    assert rows["t"].n_distinct == 2 and rows["t"].n_null == 1
+    assert rows["t"].top_value == "y"
+
+
+def test_categorical_profile_approx_schema_and_bounds(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_profile,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 17).cast("string").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 5).alias("v"),
+    )
+    exact = {r["column"]: r for r in categorical_profile(df, ["k", "v"]).collect()}
+    approx = {r["column"]: r for r in categorical_profile(df, ["k", "v"], mode="approx").collect()}
+    assert list(exact) == list(approx)
+    for c in ("k", "v"):
+        assert approx[c].n_null == exact[c].n_null  # null count is exact
+        assert approx[c].top_value is None and approx[c].top_count is None
+        # HLL at rsd=0.05 on tiny cardinalities: within 20%
+        assert abs(approx[c].n_distinct - exact[c].n_distinct) <= max(
+            2, 0.2 * exact[c].n_distinct
+        )
+
+
+def test_categorical_profile_exact_two_level_agg_plan(spark):
+    """The exact path must aggregate per-(column,value) BEFORE the
+    per-column fold — i.e. two HashAggregate pairs, with the final fold
+    consuming distinct-value rows, never raw input rows."""
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_profile,
+    )
+
+    df = spark.range(100).select((F.col("id") % 3).cast("string").alias("k"))
+    plan = categorical_profile(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    # partial+final at BOTH levels. Level 1 (per column,value) is a
+    # HashAggregate; level 2 (per-column fold) falls back to SortAggregate
+    # because max_by over a struct ordering is not hash-aggregable.
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 4
+    # the per-(column,value) pre-aggregation keyed on the value must sit
+    # BELOW the per-column fold, so the fold consumes distinct-value rows
+    lvl1 = plan.find("keys=[column#")
+    assert lvl1 != -1 and "value#" in plan[lvl1 : plan.find("]", lvl1)]
