@@ -54,6 +54,8 @@ TRAINING_BENCH = [
     "cross_doc_spans",
     "repetition_stats",
     "expectations_report",
+    "categorical_profile",
+    "role_transitions",
 ]
 
 
