@@ -3135,3 +3135,83 @@ _TRAINING_QUERIES["categorical_profile"] = q_categorical_profile
 _TRAINING_ORACLES["categorical_profile"] = _categorical_profile_oracle_sql()
 _TRAINING_QUERIES["role_transitions"] = q_role_transitions
 _TRAINING_ORACLES["role_transitions"] = _SQL_ROLE_TRANSITIONS
+
+
+def q_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence drift on role frequencies — the bounded,
+    symmetric, epsilon-free member of the drift family (KS/PSI/chi2/EMD);
+    same deterministic role skew as the PSI/chi2 queries so it's nonzero."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        jensen_shannon,
+    )
+
+    tgt = spark.table("transcripts_target").withColumn(
+        "role",
+        F.when(F.col("event_id") % 7 == 0, F.lit("assistant")).otherwise(
+            F.col("role")
+        ),
+    )
+    return jensen_shannon(spark.table("transcripts"), tgt, F.col("role"))
+
+
+_SQL_DRIFT_JSD = f"""{_CTES},
+tgt AS (SELECT CASE WHEN event_id % 7 = 0 THEN 'assistant' ELSE role END AS role
+        FROM transcripts_target),
+u AS (
+  SELECT v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT role AS v, 1 AS ns, 0 AS nt FROM transcripts
+    UNION ALL SELECT role, 0, 1 FROM tgt) z
+  GROUP BY v),
+tot AS (SELECT sum(n_s) AS ts, sum(n_t) AS tt FROM u),
+pq AS (SELECT n_s * 1.0 / ts AS p, n_t * 1.0 / tt AS q,
+              ts, tt FROM u, tot)
+SELECT
+  round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+                       ELSE 0.0 END)
+      + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+                       ELSE 0.0 END), 6) AS jsd,
+  CAST(max(ts) AS BIGINT) AS n_source,
+  CAST(max(tt) AS BIGINT) AS n_target
+FROM pq
+"""
+
+
+def q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column top-5 heavy hitters over the low/medium-cardinality
+    transcript columns (salted two-level top-k, exact; see
+    operators/aggregates.py frequent_values)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        frequent_values,
+    )
+
+    return frequent_values(
+        spark.table("transcripts"), ["role", "tool", "turn_idx"], k=5
+    )
+
+
+def _frequent_values_oracle_sql() -> str:
+    blocks = []
+    for c in ["role", "tool", "turn_idx"]:
+        blocks.append(f"""
+SELECT '{c}' AS "column", rank, value, cnt FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) AS INT)
+           AS rank,
+         value, cnt
+  FROM (SELECT CAST({c} AS VARCHAR) AS value,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM transcripts WHERE {c} IS NOT NULL GROUP BY 1))
+WHERE rank <= 5""")
+    return (
+        _CTES
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(blocks)
+        + '\n) ORDER BY "column", rank'
+    )
+
+
+_TRAINING_QUERIES["drift_jsd_role"] = q_drift_jsd
+_TRAINING_ORACLES["drift_jsd_role"] = _SQL_DRIFT_JSD
+_TRAINING_QUERIES["frequent_values"] = q_frequent_values
+_TRAINING_ORACLES["frequent_values"] = _frequent_values_oracle_sql()

@@ -341,3 +341,76 @@ def categorical_profile(
         )
         .orderBy("column")
     )
+
+
+def frequent_values(
+    df: DataFrame,
+    columns: list[str],
+    k: int = 5,
+    num_salts: int = 32,
+) -> DataFrame:
+    """Exact per-column top-k most frequent values (heavy hitters) — the
+    full-ranking extension of ``categorical_profile``'s modal value.
+
+    Scale shape: melt the columns to long format (map-side), aggregate
+    per-(column, value) counts (shuffle carries one row per DISTINCT
+    value, partial map-side combine collapses repeats), then TWO-LEVEL
+    top-k so no single task ever sorts a column's whole distinct-value
+    stream: level 1 ranks within (column, salt = xxhash64(value) mod
+    ``num_salts``) and keeps k survivors per salt — the salt spreads a
+    high-cardinality column's distinct values across ``num_salts``
+    independent window partitions — and level 2 ranks the at most
+    num_salts * k survivors per column. Exact: a value's count is fully
+    aggregated before salting, and the global top-k is a subset of every
+    covering partition's local top-k. Ties break deterministically on
+    (count DESC, value DESC), so results are reproducible and
+    oracle-able. NULLs are excluded (they are a null-rate concern, not a
+    frequency one).
+
+    Output: (column, rank 1..k, value string, cnt), ordered by
+    (column, rank).
+    """
+    from pyspark.sql import Window
+
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.column", "cv.value").filter(F.col("value").isNotNull())
+    per_value = melted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    order = [F.col("cnt").desc(), F.col("value").desc()]
+    salt = F.pmod(F.xxhash64("value"), F.lit(num_salts))
+    local = (
+        per_value.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("column", salt).orderBy(*order)
+            ),
+        )
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    return (
+        local.withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("column").orderBy(*order)),
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            "column",
+            F.col("rank").cast("int").alias("rank"),
+            "value",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .orderBy("column", "rank")
+    )

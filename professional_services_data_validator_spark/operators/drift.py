@@ -359,3 +359,47 @@ def emd_binned(
         F.max("tot_s").cast("long").alias("n_source"),
         F.max("tot_t").cast("long").alias("n_target"),
     )
+
+
+def jensen_shannon(
+    source: DataFrame,
+    target: DataFrame,
+    category_col: Column,
+) -> DataFrame:
+    """Jensen-Shannon divergence between source and target category
+    frequencies — the bounded, symmetric member of the drift family
+    (KS continuous, PSI unbounded, chi-squared count-scaled):
+    JSD = 0.5 KL(p || m) + 0.5 KL(q || m) with m = (p + q) / 2, in nats,
+    0 <= JSD <= ln 2. Unlike PSI it needs NO epsilon floor: a category
+    absent from one side has m > 0, and the absent side's 0 * ln(0/m)
+    term is 0 by continuity (rendered as a CASE on the zero count, so
+    ANSI mode never sees ln(0)).
+
+    Same plan shape as chi2_categorical: two count aggregations, one
+    full-outer join on the category value (key space = k categories),
+    broadcast totals, one final fold. Output one row:
+    (jsd double 6dp, n_source, n_target).
+    """
+    s = _counts_by_value(source, category_col, "s")
+    t = _counts_by_value(target, category_col, "t")
+    joined = s.join(t, "v", "full_outer").fillna(0, ["n_s", "n_t"])
+    totals = joined.agg(
+        F.sum("n_s").alias("tot_s"), F.sum("n_t").alias("tot_t")
+    )
+    cells = joined.crossJoin(F.broadcast(totals)).select(
+        (F.col("n_s") / F.col("tot_s")).alias("p"),
+        (F.col("n_t") / F.col("tot_t")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    kl_term = lambda x: F.when(  # noqa: E731 - local expression factory
+        x > 0, x * F.log(x / m)
+    ).otherwise(F.lit(0.0))
+    return cells.crossJoin(F.broadcast(totals)).agg(
+        F.round(
+            F.lit(0.5) * F.sum(kl_term(F.col("p")))
+            + F.lit(0.5) * F.sum(kl_term(F.col("q"))),
+            6,
+        ).alias("jsd"),
+        F.max("tot_s").cast("long").alias("n_source"),
+        F.max("tot_t").cast("long").alias("n_target"),
+    )

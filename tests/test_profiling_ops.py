@@ -255,3 +255,104 @@ def test_categorical_profile_exact_two_level_agg_plan(spark):
     # BELOW the per-column fold, so the fold consumes distinct-value rows
     lvl1 = plan.find("keys=[column#")
     assert lvl1 != -1 and "value#" in plan[lvl1 : plan.find("]", lvl1)]
+
+
+def test_jensen_shannon_identical_is_zero(spark):
+    from professional_services_data_validator_spark.operators.drift import (
+        jensen_shannon,
+    )
+
+    df = spark.createDataFrame(
+        [(r,) for r in ["a"] * 30 + ["b"] * 20], "role string"
+    )
+    r = jensen_shannon(df, df, F.col("role")).collect()[0]
+    assert r["jsd"] == 0.0
+    assert r["n_source"] == 50 and r["n_target"] == 50
+
+
+def test_jensen_shannon_known_value_and_bounds(spark):
+    from professional_services_data_validator_spark.operators.drift import (
+        jensen_shannon,
+    )
+
+    # p = [.25, .75], q = [.5, .5]
+    s = spark.createDataFrame([(r,) for r in ["a"] * 10 + ["b"] * 30], "c string")
+    t = spark.createDataFrame([(r,) for r in ["a"] * 20 + ["b"] * 20], "c string")
+    r = jensen_shannon(s, t, F.col("c")).collect()[0]
+    m = [0.375, 0.625]
+    expect = 0.5 * (
+        0.25 * math.log(0.25 / m[0]) + 0.75 * math.log(0.75 / m[1])
+    ) + 0.5 * (0.5 * math.log(0.5 / m[0]) + 0.5 * math.log(0.5 / m[1]))
+    assert abs(r["jsd"] - round(expect, 6)) < 1e-6
+    assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
+
+
+def test_jensen_shannon_disjoint_is_ln2_and_no_nan(spark):
+    from professional_services_data_validator_spark.operators.drift import (
+        jensen_shannon,
+    )
+
+    # fully disjoint supports -> maximal divergence ln(2); the 0-count side
+    # must contribute exactly 0 (no ln(0), no epsilon distortion)
+    s = spark.createDataFrame([("a",), ("a",)], "c string")
+    t = spark.createDataFrame([("b",), ("b",)], "c string")
+    r = jensen_shannon(s, t, F.col("c")).collect()[0]
+    assert abs(r["jsd"] - round(math.log(2), 6)) < 1e-6
+
+
+def test_frequent_values_counts_ranks_ties_nulls(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        frequent_values,
+    )
+
+    rows = (
+        [("x", 1)] * 5 + [("y", 1)] * 3 + [("z", 2)] * 3
+        + [("w", 3)] * 1 + [(None, None)] * 4
+    )
+    df = spark.createDataFrame(rows, "s string, i int")
+    out = frequent_values(df, ["s", "i"], k=2).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r["column"], []).append(r)
+    s_rows = by_col["s"]
+    assert [r["value"] for r in s_rows] == ["x", "z"]  # tie y=3,z=3 -> 'z'
+    assert [r["cnt"] for r in s_rows] == [5, 3]
+    assert [r["rank"] for r in s_rows] == [1, 2]
+    i_rows = by_col["i"]
+    assert [r["value"] for r in i_rows] == ["1", "2"]
+    assert [r["cnt"] for r in i_rows] == [8, 3]
+    # NULLs excluded everywhere
+    assert all(r["value"] is not None for r in out)
+
+
+def test_frequent_values_salting_invariant(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        frequent_values,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 37).cast("string").alias("a"),
+        (F.pow(F.col("id") % 13, 2)).cast("int").alias("b"),
+    )
+    one = frequent_values(df, ["a", "b"], k=4, num_salts=1).collect()
+    many = frequent_values(df, ["a", "b"], k=4, num_salts=32).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_frequent_values_two_level_window_plan(spark):
+    """No single task sorts a column's whole distinct stream: the plan has
+    TWO window stages (salted local top-k, then global over survivors) and
+    the per-(column,value) aggregation sits below both."""
+    from professional_services_data_validator_spark.operators.aggregates import (
+        frequent_values,
+    )
+
+    df = spark.range(100).select((F.col("id") % 7).cast("string").alias("k"))
+    plan = frequent_values(df, ["k"], k=3)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("Window [") == 2
+    assert "xxhash64" in plan  # the salt key
+    # Spark's rank-limit pushdown inserts WindowGroupLimit under BOTH
+    # windows: each task pre-prunes to k rows per partition key before the
+    # window sort ever runs — the partial top-k shape we want at 100 TB
+    assert plan.count("WindowGroupLimit") == 2
