@@ -56,6 +56,8 @@ TRAINING_BENCH = [
     "expectations_report",
     "categorical_profile",
     "role_transitions",
+    "frequent_values",
+    "drift_jsd_role",
 ]
 
 
