@@ -242,6 +242,38 @@ NOTES = {
         "count ~ sum of bucket^2 sizes, not n^2 — the quadratic all-pairs "
         "never materializes."
     ),
+    "categorical_profile": (
+        "Melt to (column, value) is map-side (explode of literal structs, "
+        "no shuffle). Level-1 HashAggregate keyed on (column, value) with "
+        "map-side partial combine means the first exchange carries one row "
+        "per distinct value per mapper, not per input row; the level-2 "
+        "per-column fold consumes only the distinct-value stream. At 100 TB "
+        "with a huge value space, mode='approx' replaces both levels with "
+        "ONE HyperLogLog++ pass (mergeable sketches, bounded memory)."
+    ),
+    "role_transitions": (
+        "Adjacent turns pair via the equi-join on (conv_id, turn_idx+1) — "
+        "co-partitioned on conv_id, so on a conv_id-bucketed Iceberg table "
+        "the join is shuffle-free and AQE splits hot conversations. The "
+        "matrix aggregation collapses the pair stream to <= |roles|^2 "
+        "cells map-side; the probability-denominator window runs over "
+        "those cells, never the corpus."
+    ),
+    "frequent_values": (
+        "Per-(column, value) counts fully aggregate (map-side combine) "
+        "before ranking, then a salted TWO-LEVEL top-k: level 1 ranks "
+        "within (column, xxhash64(value) %% 32) and level 2 ranks the "
+        "<= 32*k survivors. Catalyst inserts WindowGroupLimit under BOTH "
+        "windows, so each task pre-prunes to k rows per key before any "
+        "sort. No task ever sorts a column's whole distinct stream — the "
+        "skew-proof exact-top-k shape at 100 TB."
+    ),
+    "drift_jsd_role": (
+        "Identical plan shape to psi/chi2: two count aggregations (one "
+        "shuffle each keyed on the <= |roles| category space), full-outer "
+        "join over k category rows, 1-row broadcast totals, one final "
+        "fold. Every exchange after the scans carries O(categories) rows."
+    ),
 }
 
 
