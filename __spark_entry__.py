@@ -3215,3 +3215,51 @@ _TRAINING_QUERIES["drift_jsd_role"] = q_drift_jsd
 _TRAINING_ORACLES["drift_jsd_role"] = _SQL_DRIFT_JSD
 _TRAINING_QUERIES["frequent_values"] = q_frequent_values
 _TRAINING_ORACLES["frequent_values"] = _frequent_values_oracle_sql()
+
+
+def q_metric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomalies on the per-role daily turn-count
+    series — each day judged against ITS OWN prior 7 days (strictly-prior
+    frame), the temporal complement to the two-sample drift queries. The
+    validation-engine use: the same operator over the lineage table's
+    per-partition metric history flags silently degrading partitions."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.temporal import (
+        metric_anomalies,
+    )
+
+    daily = spark.table("transcripts").groupBy(
+        "role", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_turns"))
+    return metric_anomalies(
+        daily, ["role"], "day", "n_turns",
+        trailing_n=7, min_history=3, z_thresh=2.0,
+    )
+
+
+_SQL_METRIC_ANOMALY = f"""{_CTES},
+daily AS (
+  SELECT role, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM transcripts GROUP BY 1, 2),
+base AS (
+  SELECT role, day AS ts, CAST(n AS DOUBLE) AS value,
+    avg(CAST(n AS DOUBLE)) OVER w AS bm,
+    stddev_samp(CAST(n AS DOUBLE)) OVER w AS bs,
+    count(n) OVER w AS np
+  FROM daily
+  WINDOW w AS (PARTITION BY role ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT role, ts, value,
+    round(bm, 6) AS base_mean, round(bs, 6) AS base_std,
+    CASE WHEN np >= 3 AND bs > 0
+         THEN round((value - bm) / bs, 6) END AS z
+  FROM base)
+SELECT role, ts, value, base_mean, base_std, z,
+  coalesce(abs(z) >= 2.0, false) AS is_anomaly
+FROM z ORDER BY role, ts
+"""
+
+
+_TRAINING_QUERIES["metric_anomaly_daily"] = q_metric_anomaly
+_TRAINING_ORACLES["metric_anomaly_daily"] = _SQL_METRIC_ANOMALY

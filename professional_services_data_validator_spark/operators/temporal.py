@@ -150,3 +150,68 @@ def asof_join(
         *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in right_cols],
     ]
     return carried.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def metric_anomalies(
+    history: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    metric_col: str,
+    trailing_n: int = 7,
+    min_history: int = 3,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection over a per-key metric
+    time series — the temporal complement to the two-sample drift family
+    (KS/PSI/chi2/JSD compare two snapshots; this compares each observation
+    to ITS OWN recent history). Typical inputs: per-day row counts,
+    per-partition violation rates, or any metric series from the lineage
+    table (lineage.py:36 stores metrics per partition per run).
+
+    For each (key, ts) observation: mean and sample-std of the up-to-
+    ``trailing_n`` STRICTLY PRIOR observations (rowsBetween(-n, -1) under
+    ts order — the current value never contaminates its own baseline),
+    z = (x - mean) / std, anomaly when |z| >= ``z_thresh``. Observations
+    with fewer than ``min_history`` priors or zero baseline variance emit
+    NULL z and are never flagged (cold starts and constant series are not
+    anomalies). round(6) on z keeps results engine-portable.
+
+    Scale shape: ONE shuffle keyed on the metric keys; each key's window
+    is an independent partition sorted by ts (a key = one metric series —
+    thousands of rows at most, never the corpus). No global window, no
+    collect. Output: key_cols + (ts, value, base_mean, base_std, z,
+    is_anomaly), ordered by (keys, ts).
+    """
+    x = F.col(metric_col).cast("double")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-trailing_n, -1)
+    )
+    base = history.select(
+        *key_cols,
+        F.col(ts_col).alias("ts"),
+        x.alias("value"),
+        F.avg(x).over(w).alias("base_mean"),
+        F.stddev_samp(x).over(w).alias("base_std"),
+        F.count(x).over(w).alias("__n_prior"),
+    )
+    usable = (F.col("__n_prior") >= min_history) & (F.col("base_std") > 0)
+    z = F.when(
+        usable,
+        F.round((F.col("value") - F.col("base_mean")) / F.col("base_std"), 6),
+    )
+    return (
+        base.select(
+            *key_cols,
+            "ts",
+            "value",
+            F.round("base_mean", 6).alias("base_mean"),
+            F.round("base_std", 6).alias("base_std"),
+            z.alias("z"),
+            F.coalesce(
+                F.abs(z) >= F.lit(float(z_thresh)), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+        .orderBy(*key_cols, "ts")
+    )

@@ -97,3 +97,70 @@ def test_asof_no_range_join_in_plan(spark):
     # O(left x right) inequality join can never appear
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_metric_anomalies_flags_spike_only(spark):
+    from professional_services_data_validator_spark.operators.temporal import (
+        metric_anomalies,
+    )
+
+    # steady series 100±1 with one 10x spike at t=8
+    vals = [100, 101, 99, 100, 101, 99, 100, 101, 1000, 100]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts int, m long")
+    out = metric_anomalies(
+        df, ["key"], "ts", "m", trailing_n=7, min_history=3, z_thresh=3.0
+    ).collect()
+    by_ts = {r["ts"]: r for r in out}
+    assert by_ts[8]["is_anomaly"] is True and by_ts[8]["z"] > 3
+    # every other observation is within noise
+    assert all(not by_ts[t]["is_anomaly"] for t in range(10) if t != 8)
+    # the spike sits in t=9's trailing window -> inflated std, not flagged
+    assert by_ts[9]["is_anomaly"] is False
+
+
+def test_metric_anomalies_cold_start_and_zero_variance(spark):
+    from professional_services_data_validator_spark.operators.temporal import (
+        metric_anomalies,
+    )
+
+    rows = [("a", i, 5) for i in range(6)] + [("a", 6, 50)]
+    df = spark.createDataFrame(rows, "key string, ts int, m long")
+    out = {r["ts"]: r for r in metric_anomalies(
+        df, ["key"], "ts", "m", min_history=3
+    ).collect()}
+    # fewer than min_history priors: NULL z, never flagged
+    for t in (0, 1, 2, 3):
+        assert out[t]["z"] is None and out[t]["is_anomaly"] is False
+    # constant history -> zero variance -> guarded NULL z even for the jump
+    assert out[6]["base_std"] == 0.0
+    assert out[6]["z"] is None and out[6]["is_anomaly"] is False
+
+
+def test_metric_anomalies_strictly_prior_baseline(spark):
+    from professional_services_data_validator_spark.operators.temporal import (
+        metric_anomalies,
+    )
+
+    rows = [("a", 0, 10), ("a", 1, 20), ("a", 2, 30)]
+    df = spark.createDataFrame(rows, "key string, ts int, m long")
+    out = {r["ts"]: r for r in metric_anomalies(
+        df, ["key"], "ts", "m", min_history=1
+    ).collect()}
+    # baseline at t=2 is mean(10,20)=15, NOT contaminated by 30
+    assert out[2]["base_mean"] == 15.0
+
+
+def test_metric_anomalies_one_exchange(spark):
+    from professional_services_data_validator_spark.operators.temporal import (
+        metric_anomalies,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, 2)], "key string, ts int, m long"
+    )
+    q = metric_anomalies(df, ["key"], "ts", "m")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on the key for the window; the final orderBy adds
+    # its range exchange, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
