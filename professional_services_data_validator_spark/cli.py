@@ -38,6 +38,10 @@ Three entry styles (all through ``main``):
     psdv-spark curate --docs-path corpus/ --bench-path evalset/ \
         --quality-min 0.55 --keep-only --output curated/
 
+    # 7. one-table data profile (engine extension): cardinalities, nulls,
+    #    heavy hitters, numeric percentiles; --approx = sketch paths
+    psdv-spark profile --source-path t/ --top-k 5 --output prof/
+
 Cluster usage:
     ./package.sh                         # builds dist/psdv_spark.zip
     spark-submit --py-files dist/psdv_spark.zip \
@@ -49,6 +53,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -365,6 +370,34 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["table", "text", "csv", "json"])
     exp.add_argument("--output", default=None,
                      help="parquet output dir for the report")
+
+    prof = sub.add_parser(
+        "profile",
+        help="data profile of one table: per-column cardinality / nulls / "
+        "heavy hitters + numeric percentile profiles (engine extension; "
+        "the reference's aggregate surface has no profiler)",
+    )
+    prof.add_argument("--source-path")
+    prof.add_argument("--source-table")
+    prof.add_argument(
+        "--columns", default=None,
+        help="comma list for the categorical profile; default: every "
+        "non-numeric column",
+    )
+    prof.add_argument(
+        "--numeric-columns", default=None,
+        help="comma list for the numeric profile; default: every numeric "
+        "column",
+    )
+    prof.add_argument("--top-k", type=int, default=5,
+                      help="heavy hitters per column (0 disables)")
+    prof.add_argument(
+        "--approx", action="store_true",
+        help="sketch paths: HyperLogLog++ cardinalities + t-digest "
+        "percentiles, no exact heavy hitters (the 100-TB default)",
+    )
+    prof.add_argument("--output", default=None,
+                      help="parquet output dir (one subdir per section)")
     return top
 
 
@@ -605,7 +638,6 @@ def _run_config_blocks(args: argparse.Namespace, cfg: dict) -> int:
 
 def _run_configs_cmd(args: argparse.Namespace) -> int:
     """configs list|get|run (reference cli_tools.py:374-420)."""
-    import os
 
     if args.configs_cmd == "list":
         names = sorted(
@@ -665,7 +697,6 @@ def _run_generate_partitions(args: argparse.Namespace) -> int:
     driver-side scan), then emit ceil(n/ppf) YAML files named 0000.yaml...
     each holding `parts-per-file` row-validation blocks whose filters are the
     manifest's pushdown-able range predicates."""
-    import os
 
     import yaml
 
@@ -778,6 +809,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_curate(args)
     if args.command == "expect":
         return _run_expect(args)
+    if args.command == "profile":
+        return _run_profile(args)
     if args.command == "validate":
         cfg_dict = _config_dict_from_flags(args)
         if args.config_file or args.config_file_json:
@@ -1092,6 +1125,74 @@ def _run_curate(args: argparse.Namespace) -> int:
         )
     finally:
         verdicts.unpersist()
+    return 0
+
+
+def _run_profile(args: argparse.Namespace) -> int:
+    """One-table data profile job: categorical_profile (+ frequent_values)
+    over string-ish columns and numeric_profile per numeric column, each a
+    one/two-aggregate-pass plan (operators/aggregates.py). --approx swaps
+    in the sketch variants (HLL cardinalities, t-digest percentiles) for
+    tables whose distinct-value streams are themselves huge."""
+    import pandas as pd
+
+    from .operators.aggregates import (
+        categorical_profile,
+        frequent_values,
+        numeric_profile,
+    )
+    from .session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("psdv-profile")
+    df = _load_side(spark, args.source_path, args.source_table)
+    numeric_types = ("int", "bigint", "smallint", "tinyint", "double",
+                     "float", "decimal")
+    dtypes = dict(df.dtypes)
+    num_cols = _split_cols(args.numeric_columns) or [
+        c for c, t in dtypes.items()
+        if t.startswith(numeric_types)
+    ]
+    cat_cols = _split_cols(args.columns) or [
+        c for c in df.columns if c not in num_cols
+    ]
+    mode = "approx" if args.approx else "exact"
+
+    def _show(title: str, frame) -> None:
+        pdf = pd.DataFrame([r.asDict() for r in frame.collect()],
+                           columns=frame.columns)
+        print(f"\n== {title} ==")
+        print(pdf.to_string(index=False))
+
+    sections = {}
+    if cat_cols:
+        sections["categorical"] = categorical_profile(df, cat_cols, mode=mode)
+        if args.top_k > 0 and not args.approx:
+            sections["frequent_values"] = frequent_values(
+                df, cat_cols, k=args.top_k
+            )
+    if num_cols:
+        profs = [
+            numeric_profile(df, [], c, mode=mode).select(
+                F.lit(c).alias("column"), "*"
+            )
+            for c in num_cols
+        ]
+        out = profs[0]
+        for other in profs[1:]:
+            out = out.unionByName(other)
+        sections["numeric"] = out
+    for title, frame in sections.items():
+        _show(title, frame)
+        if args.output:
+            frame.write.mode("overwrite").parquet(
+                os.path.join(args.output, title)
+            )
+    if args.approx and args.top_k > 0:
+        print("\n(heavy hitters skipped under --approx: exact frequency "
+              "ranking needs the exact per-value pass)")
+    if not preexisting:
+        spark.stop()
     return 0
 
 

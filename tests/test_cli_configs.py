@@ -346,3 +346,52 @@ def test_cli_curate_matches_contract_composition(spark, tmp_path):
     assert rc == 0
     kept = {r["doc_id"] for r in spark.read.parquet(keep_p).collect()}
     assert kept == {d for d, v in want.items() if v[5]}
+
+
+def test_cli_profile_matches_operators(spark, tmp_path, capsys):
+    """`psdv-spark profile` output parquet must equal the operators run
+    directly; stdout carries all three sections; --approx skips the exact
+    heavy hitters and still emits the sketch profiles."""
+    from professional_services_data_validator_spark.cli import main
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_profile,
+        frequent_values,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", "x", 1, 1.5), ("b", "x", 2, 2.5), ("b", None, 2, None)],
+        "s string, t string, i int, d double",
+    ).write.parquet(src)
+    out_p = str(tmp_path / "prof")
+    rc = main([
+        "profile", "--source-path", src,
+        "--top-k", "2", "--output", out_p,
+    ])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    for section in ("categorical", "frequent_values", "numeric"):
+        assert f"== {section} ==" in stdout
+    df = spark.read.parquet(src)
+    want_cat = {tuple(r) for r in categorical_profile(df, ["s", "t"]).collect()}
+    got_cat = {tuple(r) for r in spark.read.parquet(
+        f"{out_p}/categorical"
+    ).collect()}
+    assert got_cat == want_cat
+    want_fv = {tuple(r) for r in frequent_values(df, ["s", "t"], k=2).collect()}
+    got_fv = {tuple(r) for r in spark.read.parquet(
+        f"{out_p}/frequent_values"
+    ).collect()}
+    assert got_fv == want_fv
+    num = {r["column"]: r for r in spark.read.parquet(
+        f"{out_p}/numeric"
+    ).collect()}
+    assert set(num) == {"i", "d"}
+    assert num["i"].n == 3 and num["d"].n == 2
+
+    rc = main(["profile", "--source-path", src, "--approx"])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "heavy hitters skipped" in stdout
+    assert "== frequent_values ==" not in stdout
+    assert "== categorical ==" in stdout and "== numeric ==" in stdout
