@@ -3263,3 +3263,25 @@ FROM z ORDER BY role, ts
 
 _TRAINING_QUERIES["metric_anomaly_daily"] = q_metric_anomaly
 _TRAINING_ORACLES["metric_anomaly_daily"] = _SQL_METRIC_ANOMALY
+
+
+def q_frequent_values_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (candidate generation via mapInPandas MG
+    summaries + exact broadcast recount) over the same columns as
+    frequent_values. With num_counters=1024 > the columns' distinct
+    counts, MG provably keeps every value, so the result is deterministic
+    and identical to the exact ranking — the SAME oracle applies and gives
+    the 100-TB sketch path a hard correctness signal."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        frequent_values_approx,
+    )
+
+    return frequent_values_approx(
+        spark.table("transcripts"), ["role", "tool", "turn_idx"],
+        k=5, num_counters=1024,
+    )
+
+
+_TRAINING_QUERIES["frequent_values_mg"] = q_frequent_values_mg
+_TRAINING_ORACLES["frequent_values_mg"] = _frequent_values_oracle_sql()

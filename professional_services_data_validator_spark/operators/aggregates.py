@@ -372,19 +372,7 @@ def frequent_values(
     """
     from pyspark.sql import Window
 
-    melted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("value"),
-                    )
-                    for c in columns
-                ]
-            )
-        ).alias("cv")
-    ).select("cv.column", "cv.value").filter(F.col("value").isNotNull())
+    melted = _melt_to_column_value(df, columns)
     per_value = melted.groupBy("column", "value").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -402,6 +390,120 @@ def frequent_values(
     )
     return (
         local.withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("column").orderBy(*order)),
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            "column",
+            F.col("rank").cast("int").alias("rank"),
+            "value",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .orderBy("column", "rank")
+    )
+
+
+def _melt_to_column_value(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Map-side melt of the selected columns to (column, value-as-string)
+    long format, NULLs dropped — shared by the exact and approximate
+    heavy-hitter paths."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("value"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("cv")
+        )
+        .select("cv.column", "cv.value")
+        .filter(F.col("value").isNotNull())
+    )
+
+
+def frequent_values_approx(
+    df: DataFrame,
+    columns: list[str],
+    k: int = 5,
+    num_counters: int = 1024,
+) -> DataFrame:
+    """Heavy hitters for columns whose DISTINCT-value stream is itself too
+    big to shuffle (free text, ids): Misra-Gries candidate generation +
+    exact broadcast recount. Same output schema as ``frequent_values``.
+
+    Stage 1 — candidates: ``mapInPandas`` keeps ``num_counters`` (= m)
+    Misra-Gries counters per column per input partition (Arrow batches,
+    vectorized value_counts; the batched decrement subtracts the (m+1)-th
+    largest count from all counters, the standard mergeable-summary step).
+    MG guarantees every value with true in-partition frequency >
+    n_part/(m+1) survives, so every value with GLOBAL frequency >
+    n_col/(m+1) survives in at least one partition. Emits only the
+    candidate (column, value) pairs — at most m per column per partition,
+    never raw rows.
+
+    Stage 2 — exact recount: the distinct candidate set (bounded, tiny)
+    broadcasts back onto the melted stream; matched rows aggregate with
+    map-side partial combine, so the only wide exchange carries at most
+    |candidates| rows per mapper. Final top-k ranks |candidates| rows.
+
+    Determinism: MG counter CONTENTS depend on partition order, but the
+    emitted counts are exact (stage 2), so the result is deterministic —
+    and identical to ``frequent_values`` — whenever the true k-th hitter's
+    frequency exceeds n_col/(m+1) (always true when a column has fewer
+    than m distinct values, and the Misra-Gries guarantee for skewed data
+    otherwise). Below that threshold the tail of the ranking may vary
+    with partitioning; raise ``num_counters`` to tighten.
+
+    Cost shape: two map-side scans of the melted stream (candidates +
+    recount) and zero shuffles of raw or distinct-value rows — vs the
+    exact path's one scan + one shuffle of every distinct value. The
+    approx path wins exactly when distinct values >> num_counters.
+    """
+    import pandas as pd
+
+    melted = _melt_to_column_value(df, columns)
+    cols = list(columns)
+    m = int(num_counters)
+
+    def mg_candidates(batches):
+        summaries: dict[str, dict[str, int]] = {c: {} for c in cols}
+        for pdf in batches:
+            for col, grp in pdf.groupby("column")["value"]:
+                d = summaries[col]
+                for v, c in grp.value_counts().items():
+                    d[v] = d.get(v, 0) + int(c)
+                if len(d) > m:
+                    # batched Misra-Gries decrement: subtracting the
+                    # (m+1)-th largest count from every counter removes
+                    # that many copies of > m distinct values
+                    delta = sorted(d.values(), reverse=True)[m]
+                    summaries[col] = {
+                        v: c - delta for v, c in d.items() if c > delta
+                    }
+        out = [
+            (col, v) for col, d in summaries.items() for v in d
+        ]
+        yield pd.DataFrame(out, columns=["column", "value"])
+
+    cands = melted.mapInPandas(
+        mg_candidates, "column string, value string"
+    ).distinct()
+    counted = (
+        melted.join(F.broadcast(cands), ["column", "value"])
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    order = [F.col("cnt").desc(), F.col("value").desc()]
+    return (
+        counted.withColumn(
             "rank",
             F.row_number().over(Window.partitionBy("column").orderBy(*order)),
         )

@@ -356,3 +356,63 @@ def test_frequent_values_two_level_window_plan(spark):
     # windows: each task pre-prunes to k rows per partition key before the
     # window sort ever runs — the partial top-k shape we want at 100 TB
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_frequent_values_approx_matches_exact_low_cardinality(spark):
+    """Distinct < num_counters: MG keeps every value, so the approx path
+    is deterministic and byte-identical to the exact ranking."""
+    from professional_services_data_validator_spark.operators.aggregates import (
+        frequent_values,
+        frequent_values_approx,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 37).cast("string").alias("a"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 13)).cast("int").alias("b"),
+    )
+    exact = frequent_values(df, ["a", "b"], k=4).collect()
+    approx = frequent_values_approx(df, ["a", "b"], k=4,
+                                    num_counters=64).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in approx]
+
+
+def test_frequent_values_approx_mg_guarantee_and_exact_counts(spark):
+    """Tiny counter budget (m=4) on skewed data: every value with global
+    frequency > n/(m+1) MUST survive candidate generation, and its
+    reported count is EXACT (stage-2 recount), regardless of how the tail
+    behaves."""
+    from professional_services_data_validator_spark.operators.aggregates import (
+        frequent_values_approx,
+    )
+
+    # 500 'hot' (50%), 300 'warm' (30%), 200 spread over 100 cold values
+    rows = (
+        [("hot",)] * 500 + [("warm",)] * 300
+        + [(f"cold{i % 100}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    out = {r["value"]: r for r in frequent_values_approx(
+        df, ["v"], k=2, num_counters=4
+    ).collect()}
+    # n/(m+1) = 1000/5 = 200 < 300, 500 -> both guaranteed present
+    assert out["hot"].cnt == 500 and out["hot"].rank == 1
+    assert out["warm"].cnt == 300 and out["warm"].rank == 2
+
+
+def test_frequent_values_approx_no_distinct_value_shuffle(spark):
+    """The only aggregation consumes the candidate-joined stream: the plan
+    has the MapInPandas candidate stage and a broadcast join feeding the
+    count — the raw distinct-value stream is never exchanged."""
+    from professional_services_data_validator_spark.operators.aggregates import (
+        frequent_values_approx,
+    )
+
+    df = spark.range(100).select((F.col("id") % 7).cast("string").alias("k"))
+    plan = frequent_values_approx(df, ["k"], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    # the per-(column,value) count aggregate sits ABOVE the broadcast join
+    agg = plan.find("HashAggregate")
+    assert agg != -1 and plan.find("BroadcastHashJoin") > agg  # join below
