@@ -3285,3 +3285,35 @@ def q_frequent_values_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["frequent_values_mg"] = q_frequent_values_mg
 _TRAINING_ORACLES["frequent_values_mg"] = _frequent_values_oracle_sql()
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization + content hash over the documents
+    table — the pre-dedup pass that makes exact dedup robust to case/
+    spacing edits. Map-only; all patterns RE2/Java-portable."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        normalize_text,
+    )
+
+    return normalize_text(
+        spark.table("documents"), "doc_id", "text"
+    ).orderBy("id")
+
+
+_SQL_NORMALIZE_TEXT = """
+WITH n AS (
+  SELECT doc_id AS id,
+    trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+      AS norm_text,
+    coalesce(text, '') AS raw
+  FROM documents)
+SELECT id, norm_text, md5(norm_text) AS norm_hash,
+  CAST(length(raw) AS INTEGER) AS n_chars_before,
+  CAST(length(norm_text) AS INTEGER) AS n_chars_after
+FROM n ORDER BY id
+"""
+
+
+_TRAINING_QUERIES["normalize_text"] = q_normalize_text
+_TRAINING_ORACLES["normalize_text"] = _SQL_NORMALIZE_TEXT

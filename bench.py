@@ -57,6 +57,7 @@ TRAINING_BENCH = [
     "categorical_profile",
     "role_transitions",
     "frequent_values",
+    "frequent_values_mg",
     "drift_jsd_role",
 ]
 

@@ -521,3 +521,44 @@ def pii_scrub(
         ),
         F.md5(scrubbed).alias("scrubbed_hash"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+) -> DataFrame:
+    """Canonical text normalization + content hash — the standard
+    pre-dedup pass (case changes, re-wrapping, and spacing edits defeat
+    raw exact dedup; normalizing first catches trivially-reformatted
+    copies while staying far cheaper than MinHash).
+
+    Steps (each optional, applied in this order): lowercase; strip
+    punctuation (the same class quality_score counts); collapse every
+    whitespace run to one space and trim. All regexp/string built-ins —
+    map-only, zero shuffle, whole-stage codegen; patterns are RE2/Java
+    portable so the DuckDB oracle replays them verbatim.
+
+    Output: (id, norm_text, norm_hash md5, n_chars_before, n_chars_after).
+    Feed ``norm_hash`` to exact_dedup's keep-rank window (or any groupBy)
+    for normalized exact dedup.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        txt = F.lower(txt)
+    if strip_punct:
+        txt = F.regexp_replace(txt, r"[\.,;:!\?]", "")
+    if collapse_whitespace:
+        txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        txt.alias("norm_text"),
+        F.md5(txt).alias("norm_hash"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias(
+            "n_chars_before"
+        ),
+        F.length(txt).alias("n_chars_after"),
+    )

@@ -416,3 +416,58 @@ def test_frequent_values_approx_no_distinct_value_shuffle(spark):
     # the per-(column,value) count aggregate sits ABOVE the broadcast join
     agg = plan.find("HashAggregate")
     assert agg != -1 and plan.find("BroadcastHashJoin") > agg  # join below
+
+
+def test_normalize_text_steps_and_hash(spark):
+    from professional_services_data_validator_spark.operators.text import (
+        normalize_text,
+    )
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello   World \t\n again "),
+            (2, "hello world again"),
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in normalize_text(df, "id", "text").collect()}
+    assert out[1]["norm_text"] == "hello world again"
+    # trivially-reformatted copy collapses to the same hash
+    assert out[1]["norm_hash"] == out[2]["norm_hash"]
+    assert out[1]["norm_hash"] == hashlib.md5(b"hello world again").hexdigest()
+    assert out[1]["n_chars_before"] == 25 and out[1]["n_chars_after"] == 17
+    assert out[3]["norm_text"] == "" and out[3]["n_chars_before"] == 0
+
+
+def test_normalize_text_strip_punct_and_map_only(spark):
+    from professional_services_data_validator_spark.operators.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame([(1, "A, b; c!")], "id long, text string")
+    r = normalize_text(df, "id", "text", strip_punct=True).collect()[0]
+    assert r["norm_text"] == "a b c"
+    plan = normalize_text(df, "id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # map-only
+
+
+def test_normalized_dedup_catches_reformatted_copies(spark):
+    from professional_services_data_validator_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from professional_services_data_validator_spark.operators.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Same   Doc"), (2, "same doc"), (3, "other")],
+        "id long, text string",
+    )
+    # raw exact dedup sees three distinct texts
+    assert exact_dedup(df, "text", ["id"]).count() == 0
+    norm = normalize_text(df, "id", "text")
+    drops = exact_dedup(norm, "norm_text", ["id"]).collect()
+    assert [r["id"] for r in drops] == [2]  # keeper = smallest id
