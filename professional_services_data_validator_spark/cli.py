@@ -393,8 +393,13 @@ def build_parser() -> argparse.ArgumentParser:
                       help="heavy hitters per column (0 disables)")
     prof.add_argument(
         "--approx", action="store_true",
-        help="sketch paths: HyperLogLog++ cardinalities + t-digest "
-        "percentiles, no exact heavy hitters (the 100-TB default)",
+        help="sketch paths: HyperLogLog++ cardinalities, t-digest "
+        "percentiles, Misra-Gries heavy hitters (the 100-TB default)",
+    )
+    prof.add_argument(
+        "--num-counters", type=int, default=1024,
+        help="Misra-Gries counters per column under --approx (values "
+        "with frequency > n/(counters+1) are guaranteed found)",
     )
     prof.add_argument("--output", default=None,
                       help="parquet output dir (one subdir per section)")
@@ -1139,6 +1144,7 @@ def _run_profile(args: argparse.Namespace) -> int:
     from .operators.aggregates import (
         categorical_profile,
         frequent_values,
+        frequent_values_approx,
         numeric_profile,
     )
     from .session import get_spark
@@ -1167,9 +1173,14 @@ def _run_profile(args: argparse.Namespace) -> int:
     sections = {}
     if cat_cols:
         sections["categorical"] = categorical_profile(df, cat_cols, mode=mode)
-        if args.top_k > 0 and not args.approx:
-            sections["frequent_values"] = frequent_values(
-                df, cat_cols, k=args.top_k
+        if args.top_k > 0:
+            sections["frequent_values"] = (
+                frequent_values_approx(
+                    df, cat_cols, k=args.top_k,
+                    num_counters=args.num_counters,
+                )
+                if args.approx
+                else frequent_values(df, cat_cols, k=args.top_k)
             )
     if num_cols:
         profs = [
@@ -1188,9 +1199,6 @@ def _run_profile(args: argparse.Namespace) -> int:
             frame.write.mode("overwrite").parquet(
                 os.path.join(args.output, title)
             )
-    if args.approx and args.top_k > 0:
-        print("\n(heavy hitters skipped under --approx: exact frequency "
-              "ranking needs the exact per-value pass)")
     if not preexisting:
         spark.stop()
     return 0
