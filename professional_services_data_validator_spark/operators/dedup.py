@@ -77,16 +77,19 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
     Built-ins only: split -> sequence -> transform(slice+join) -> explode.
     """
-    toks = _tokens(F.col(text_col))
+    # materialize the token array in a child projection: inlining the
+    # split(...) into the transform lambda would re-evaluate it for EVERY
+    # gram element (no CSE inside lambda bodies) — O(tokens x grams)/row
+    tokenized = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return tokenized.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(
@@ -521,16 +524,17 @@ def decontaminate(
     definition. Everything is built-in functions on md5-free plain-string
     shingles, so the pipeline has an exact DuckDB oracle.
     """
-    toks = _tokens(F.col(text_col))
+    doc_toks = docs.select(
+        F.col(doc_id).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")  # materialized once; see shingles() note
     idx = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - F.lit(k), F.lit(0))
     )
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
     )
-    doc_sh = docs.select(
-        F.col(doc_id).alias("id"), F.explode(grams).alias("shingle")
-    )
+    doc_sh = doc_toks.select("id", F.explode(grams).alias("shingle"))
     bench_sh = shingles(benchmark, bench_id, bench_text, k=k).select(
         F.col("id").alias("__bench_id"), "shingle"
     )
@@ -588,7 +592,10 @@ def cross_doc_shingle_dups(
     # global distinct on (id, k-gram STRING)) shuffled full shingle text;
     # this plan's single O(data) exchange is the frequency groupBy over
     # longs (benched 4.2 s -> 1.4 s at sf0.1).
-    toks = _tokens(F.col(text_col))
+    tokenized = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")  # materialized once; see shingles() note
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     gram_hashes = F.when(n >= k, F.array_distinct(
@@ -597,9 +604,7 @@ def cross_doc_shingle_dups(
             lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
         )
     )).otherwise(F.array().cast("array<bigint>"))
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(gram_hashes).alias("h")
-    )
+    sh = tokenized.select("id", F.explode(gram_hashes).alias("h"))
     # docs-per-shingle: tiny relative to the corpus (bounded by distinct
     # shingles); broadcast back only if small — let AQE decide, the join key
     # is the same hash the aggregation shuffled on, so no extra exchange.

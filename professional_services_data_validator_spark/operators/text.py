@@ -245,14 +245,16 @@ def fingerprint(
     the bottom-k sketch is also a locality-sensitive Jaccard estimator
     (Broder's bottom-k minwise sketch). Built-ins only.
     """
-    toks = F.split(F.trim(F.col(text_col)), " +")
+    tokenized = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), " +").alias("__toks"),
+    )
+    toks = F.col("__toks")  # materialized once; see repetition_stats note
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     grams = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))
     fp = F.array_join(F.slice(F.array_sort(grams), 1, bottom), "|")
-    return df.select(
-        F.col(id_col).alias("id"), F.md5(fp).alias("fingerprint")
-    )
+    return tokenized.select("id", F.md5(fp).alias("fingerprint"))
 
 
 def pack_sequences(
@@ -403,7 +405,12 @@ def repetition_stats(
     """
 
     def _grams(k: int) -> Column:
-        toks = F.split(F.trim(F.col(text_col)), " +")
+        # __toks is materialized ONCE by the child projection below:
+        # referencing the raw split(...) expression here would inline it
+        # into the transform lambda, where Spark re-evaluates it for EVERY
+        # gram element (no common-subexpression elimination inside lambda
+        # bodies) — measured 22 s -> 1.6 s at sf0.1 for this operator.
+        toks = F.col("__toks")
         n = F.size(toks)
         idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
         grams = F.transform(
@@ -467,8 +474,12 @@ def repetition_stats(
             6,
         )
 
-    return df.select(
+    tokenized = df.select(
         F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), " +").alias("__toks"),
+    )
+    return tokenized.select(
+        "id",
         bi_total.alias("n_bigrams"),
         _frac(bi_top, bi_total).alias("top_bigram_frac"),
         kg_total.alias("n_kgrams"),

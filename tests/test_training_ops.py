@@ -616,9 +616,13 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     # in between.
     assert "partial_count(distinct shingle" in plan
     lines = plan.splitlines()
+    # the corpus Generate is the one whose CHILD projection tokenizes
+    # doc_id (the token array is materialized below the explode so the
+    # split is not re-evaluated per gram inside the lambda)
     gen_i = next(
         i for i, l in enumerate(lines)
-        if "Generate explode" in l and "[doc_id" in l
+        if "Generate explode" in l
+        and any("doc_id" in c for c in lines[i + 1 : i + 3])
     )
 
     def _depth(line):
