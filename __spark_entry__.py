@@ -2177,6 +2177,58 @@ _TRAINING_QUERIES["decoded_media_bmp"] = q_decoded_media_bmp
 _TRAINING_ORACLES["decoded_media_bmp"] = _SQL_DECODED_MEDIA_BMP
 
 
+def q_resized_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize kernel (multimodal pipeline step): genuine 24-bit BMP
+    payloads (closed formula of doc_id) are decoded to numpy pixel grids,
+    nearest-neighbor resampled to 4x4 (vectorized fancy indexing, both up-
+    and down-sampling since inputs range 1x1..13x7), and re-encoded.
+    The DuckDB oracle replays the index map from the synthesis formula:
+    output logical pixel (L, c, ch) reads input byte
+    (h_in-1 - (L*h_in)//4)*w_in*3 + ((c*w_in)//4)*3 + ch of the BOTTOM-UP
+    stored pixel stream whose k-th byte is (doc_id*31 + k) % 256 — so the
+    oracle checks the kernel's actual resampling arithmetic, not just row
+    plumbing."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.multimodal import (
+        resize_images,
+        synthesize_bmp,
+    )
+
+    media = synthesize_bmp(spark.table("documents"), "doc_id")
+    return (
+        resize_images(media, out_w=4, out_h=4)
+        .select(
+            "id", "in_w", "in_h", "out_w", "out_h",
+            F.round("out_mean_px", 6).alias("out_mean_px"),
+        )
+        .orderBy("id")
+    )
+
+
+# k enumerates the 4*4*3 output pixel bytes: L = k//12, c = (k%12)//3,
+# ch = k%3; logical row L of the top-down view is stored row h_in-1-L of
+# the bottom-up BMP stream (synthesize_bmp writes pixel byte k as
+# (doc_id*31 + k) % 256 in stored order, padding excluded).
+_SQL_RESIZED_MEDIA = """
+SELECT doc_id AS id,
+  CAST(doc_id % 13 + 1 AS INT) AS in_w,
+  CAST(doc_id % 7 + 1 AS INT) AS in_h,
+  4 AS out_w, 4 AS out_h,
+  round(list_sum(list_transform(range(0, 48), k ->
+      (doc_id * 31 +
+       ((doc_id % 7 + 1) - 1 - ((k // 12) * (doc_id % 7 + 1)) // 4)
+         * (doc_id % 13 + 1) * 3
+       + ((((k % 12) // 3) * (doc_id % 13 + 1)) // 4) * 3
+       + k % 3) % 256))
+    / (48 * 255.0), 6) AS out_mean_px
+FROM documents ORDER BY id
+"""
+
+
+_TRAINING_QUERIES["resized_media"] = q_resized_media
+_TRAINING_ORACLES["resized_media"] = _SQL_RESIZED_MEDIA
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED spherical k-means quantizer (Lloyd iterations
     as DataFrame ops, deterministic md5-seeded init, centroids rounded to

@@ -300,6 +300,122 @@ def synthesize_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def bmp_pixels(payload: bytes):
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 numpy array
+    in LOGICAL top-down row order (BMP stores rows bottom-up unless the
+    header height is negative). Same validation rules as ``parse_bmp``;
+    returns None when the payload is not such a BMP."""
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height_raw = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    height = abs(height_raw)
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    row_bytes = width * 3
+    stride = (row_bytes + 3) // 4 * 4
+    if len(payload) < data_off + stride * height:
+        return None
+    buf = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    )
+    px = buf.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
+    return px if height_raw < 0 else px[::-1]
+
+
+def encode_bmp(px) -> bytes:
+    """Encode an (h, w, 3) uint8 array (logical top-down rows) as an
+    uncompressed bottom-up 24-bit BMP — the inverse of ``bmp_pixels``."""
+    import numpy as np
+
+    h, w = int(px.shape[0]), int(px.shape[1])
+    row_bytes = w * 3
+    stride = (row_bytes + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = px[::-1].reshape(h, row_bytes)
+    header = struct.pack("<2sIHHI", b"BM", 54 + h * stride, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * stride, 2835, 2835, 0, 0
+    )
+    return header + info + rows.tobytes()
+
+
+RESIZED_SCHEMA = (
+    "id long, in_w int, in_h int, out_w int, out_h int, "
+    "payload binary, out_mean_px double"
+)
+
+
+def resize_images(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor image resize as an Arrow-batched mapInPandas kernel
+    — the resize step of a multimodal training pipeline (thumbnailing /
+    normalizing to a model's input resolution), run where the data lives
+    instead of collecting payloads to the driver.
+
+    REAL kernel, not a stub: each BMP payload is decoded to an (h, w, 3)
+    numpy array (stride/padding/bottom-up-row aware), resampled with the
+    standard nearest-neighbor index map — logical output row L reads input
+    row floor(L*h_in/out_h), column likewise — entirely as vectorized numpy
+    fancy indexing (no per-pixel Python), then re-encoded as a valid BMP.
+    Handles both down- and up-sampling. Non-BMP / undecodable payloads
+    yield NULL features (unknown, not a black image). Swap the numpy kernel
+    for PIL/torchvision in production; the batch contract is identical.
+
+    Output: (id, in_w, in_h, out_w, out_h, payload, out_mean_px) where
+    payload is the resized BMP and out_mean_px = mean of the resampled
+    pixel bytes / 255 (exact integer sum over a double division, so a SQL
+    oracle can replay it bit-for-bit from the synthesis formula)."""
+    import numpy as np
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        row_maps: dict[int, object] = {}
+        col_maps: dict[int, object] = {}
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                px = bmp_pixels(p)
+                if px is None:
+                    rows.append((i, None, None, None, None, None, None))
+                    continue
+                h_in, w_in = px.shape[0], px.shape[1]
+                ri = row_maps.setdefault(
+                    h_in, (np.arange(out_h) * h_in) // out_h
+                )
+                ci = col_maps.setdefault(
+                    w_in, (np.arange(out_w) * w_in) // out_w
+                )
+                rs = px[ri][:, ci]
+                rows.append(
+                    (
+                        i, w_in, h_in, out_w, out_h, encode_bmp(rs),
+                        int(rs.sum(dtype=np.int64))
+                        / (rs.size * 255.0),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "in_w": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "in_h": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "out_w": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "out_h": pd.array([r[4] for r in rows], dtype="Int32"),
+                    "payload": [r[5] for r in rows],
+                    "out_mean_px": pd.array(
+                        [r[6] for r in rows], dtype="Float64"
+                    ),
+                }
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        _kernel, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: which frame indices to decode per clip,
     derived from declared metadata — the planning stays declarative; only

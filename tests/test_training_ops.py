@@ -462,6 +462,55 @@ def test_synthesize_bmp_roundtrip(spark):
         assert abs(r.mean_px - want_mean) < 1e-12
 
 
+def test_resize_images_nearest_neighbor(spark):
+    """resize_images is a REAL kernel: the resized payload is itself a
+    valid BMP whose pixels equal the nearest-neighbor index map of the
+    input grid, for both down- and up-sampling; undecodable payloads give
+    NULL features."""
+    from pyspark.sql import types as T
+
+    from professional_services_data_validator_spark.operators.multimodal import (
+        bmp_pixels,
+        build_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
+    schema = T.StructType.fromDDL(
+        "id long, modality string, payload binary, "
+        "meta struct<source:string, declared_w:int, declared_h:int>"
+    )
+    big = build_bmp(6, 5, lambda k: (7 * k) % 256)  # downsample case
+    small = build_bmp(2, 1, lambda k: 100 + k)  # upsample case
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(big), ("t", None, None)),
+            (2, "image", bytearray(small), ("t", None, None)),
+            (3, "image", bytes(range(16)), ("t", 9, 9)),  # not a BMP
+        ],
+        schema,
+    )
+    rows = {r.id: r for r in resize_images(df, 4, 4).collect()}
+
+    for rid, src, (w_in, h_in) in ((1, big, (6, 5)), (2, small, (2, 1))):
+        r = rows[rid]
+        assert (r.in_w, r.in_h, r.out_w, r.out_h) == (w_in, h_in, 4, 4)
+        px_in = bmp_pixels(src)
+        want = px_in[[(L * h_in) // 4 for L in range(4)]][
+            :, [(c * w_in) // 4 for c in range(4)]
+        ]
+        got = bmp_pixels(bytes(r.payload))  # re-decode the resized BMP
+        assert got is not None and (got == want).all()
+        assert abs(
+            r.out_mean_px - int(want.sum(dtype="int64")) / (48 * 255.0)
+        ) < 1e-12
+        # encode/decode round-trip is exact
+        assert (bmp_pixels(encode_bmp(px_in)) == px_in).all()
+
+    assert rows[3].in_w is None and rows[3].payload is None
+    assert rows[3].out_mean_px is None
+
+
 def test_decode_media_null_payload_yields_null_features(spark):
     """An undecodable (NULL) asset must produce NULL features, not a fake
     black image — SQL aggregates and the DuckDB oracle agree on NULL."""
