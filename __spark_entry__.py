@@ -351,6 +351,163 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# 4c. snapshot-diff validation (Iceberg version-to-version delta)
+# ---------------------------------------------------------------------------
+
+# "next snapshot" fixture: the target copy (which already carries deletes,
+# text mutations, and tool-nulls keyed on event_id) plus a deterministic
+# tail of NEW rows (PK turn_idx shifted by 1,000,000 so they exist in no
+# prior snapshot) — all four diff statuses are live. One template, both
+# dialects (the column list is dialect-neutral).
+_SNAPSHOT_NEW_SQL = """
+SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts_target
+UNION ALL
+SELECT conv_id, turn_idx + 1000000 AS turn_idx, role,
+       text || ' NEW' AS text, tool, ts
+FROM transcripts WHERE event_id % 419 = 0
+"""
+
+
+def _snapshot_frames(spark: SparkSession, sf_dir: str):
+    _prep(spark, sf_dir)
+    old = _with_epoch(spark.table("transcripts")).drop("event_id")
+    new = _with_epoch(spark.sql(_SNAPSHOT_NEW_SQL))
+    return old, new
+
+
+def q_snapshot_delta_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot delta: which PKs were added / removed / changed
+    between the validated snapshot and the current one — the same single
+    full-outer binary-hash join as row_hash_violations, with add/remove
+    classification on top (operators/snapshot.py; reference analog: row
+    validation between table versions, data_validation.py:294-305)."""
+    from professional_services_data_validator_spark.operators import (
+        snapshot_diff_rows,
+    )
+
+    old, new = _snapshot_frames(spark, sf_dir)
+    return snapshot_diff_rows(
+        old.drop("ts"), new.drop("ts"), ["conv_id", "turn_idx"],
+        compare_columns=["role", "text", "tool", "ts_us"],
+    ).orderBy("conv_id", "turn_idx")
+
+
+def q_snapshot_diff_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-partition change rollup between two snapshots: the counts
+    that decide which partitions a resumable validation must re-check
+    (revalidate=true invalidates that partition's lineage 'success')."""
+    from professional_services_data_validator_spark.operators import (
+        snapshot_diff_summary,
+    )
+
+    old, new = _snapshot_frames(spark, sf_dir)
+    return snapshot_diff_summary(
+        old, new, ["conv_id", "turn_idx"],
+        F.date_format("ts", "yyyy-MM-dd"),
+        compare_columns=["role", "text", "tool", "ts_us"],
+    ).orderBy("partition_id")
+
+
+# the oracle classifies with IS NOT DISTINCT FROM tuple compares — value
+# equality and sha256-hash equality agree (the hash chain is injective per
+# column list up to collision), so statuses match the Spark side exactly.
+_SNAPSHOT_DIFF_CTE = f"""
+snap_new AS ({_SNAPSHOT_NEW_SQL}),
+diff AS (
+  SELECT coalesce(o.conv_id, n.conv_id) AS conv_id,
+    coalesce(o.turn_idx, n.turn_idx) AS turn_idx,
+    coalesce(o.day, n.day) AS partition_id,
+    CASE WHEN o.conv_id IS NULL THEN 'added'
+         WHEN n.conv_id IS NULL THEN 'removed'
+         WHEN (o.role IS NOT DISTINCT FROM n.role)
+          AND (o.text IS NOT DISTINCT FROM n.text)
+          AND (o.tool IS NOT DISTINCT FROM n.tool)
+          AND (o.ts IS NOT DISTINCT FROM n.ts) THEN 'unchanged'
+         ELSE 'changed' END AS diff_status
+  FROM (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM transcripts) o
+  FULL OUTER JOIN (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM snap_new) n
+    ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx)
+"""
+
+_SQL_SNAPSHOT_DELTA_ROWS = f"""{_CTES},
+{_SNAPSHOT_DIFF_CTE}
+SELECT conv_id, turn_idx, diff_status
+FROM diff WHERE diff_status <> 'unchanged' ORDER BY conv_id, turn_idx
+"""
+
+_SQL_SNAPSHOT_DIFF_BY_DAY = f"""{_CTES},
+{_SNAPSHOT_DIFF_CTE}
+SELECT partition_id,
+  count(*) FILTER (WHERE diff_status = 'added') AS n_added,
+  count(*) FILTER (WHERE diff_status = 'removed') AS n_removed,
+  count(*) FILTER (WHERE diff_status = 'changed') AS n_changed,
+  count(*) FILTER (WHERE diff_status = 'unchanged') AS n_unchanged,
+  (count(*) FILTER (WHERE diff_status = 'added') > 0
+   OR count(*) FILTER (WHERE diff_status = 'removed') > 0
+   OR count(*) FILTER (WHERE diff_status = 'changed') > 0) AS revalidate
+FROM diff GROUP BY partition_id ORDER BY partition_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4d. conversation-rollup compare (per-turn text equality, conv granularity)
+# ---------------------------------------------------------------------------
+
+def q_conv_rollup_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity text-equality validation: one (count,
+    120-bit XOR of sha256(turn_idx, text)) fingerprint per conv_id per side
+    — the north rule's per-turn-text-equality invariant checked WITHOUT the
+    O(turns) PK join. The XOR fold is commutative, so the per-conv
+    aggregate is map-side combined and order-independent while still
+    order-AWARE (turn_idx is inside each hash: mutations, missing turns,
+    and re-orderings all flip the fingerprint). Output = mismatching
+    conversations only; drill down to row_hash_violations filtered to
+    these conv_ids. Reuses operators/checksums.py with conv_id as the
+    grouping expression."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import (
+        checksum_validation,
+    )
+
+    src = spark.table("transcripts")
+    tgt = spark.table("transcripts_target")
+    out = checksum_validation(
+        src, tgt, F.col("conv_id"), ["turn_idx", "text"]
+    )
+    return out.filter(F.col("validation_status") == "fail").select(
+        F.col("partition_id").alias("conv_id"),
+        "n_rows_src", "n_rows_tgt", "validation_status",
+    ).orderBy("conv_id")
+
+
+_CONV_ROLLUP_HASH_SQL = """
+  sha256(rtrim(coalesce(CAST(turn_idx AS VARCHAR),
+                        'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(text AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+  )"""
+
+_SQL_CONV_ROLLUP = f"""{_CTES},
+sh AS (SELECT conv_id, {_CONV_ROLLUP_HASH_SQL} AS h FROM transcripts),
+th AS (SELECT conv_id, {_CONV_ROLLUP_HASH_SQL} AS h FROM transcripts_target),
+ss AS (SELECT conv_id, count(*) AS n,
+  CAST(bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS BIGINT) AS lo,
+  CAST(bit_xor(('0x' || substr(h, 16, 15))::BIGINT) AS BIGINT) AS hi
+  FROM sh GROUP BY 1),
+tt AS (SELECT conv_id, count(*) AS n,
+  CAST(bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS BIGINT) AS lo,
+  CAST(bit_xor(('0x' || substr(h, 16, 15))::BIGINT) AS BIGINT) AS hi
+  FROM th GROUP BY 1)
+SELECT coalesce(ss.conv_id, tt.conv_id) AS conv_id,
+  ss.n AS n_rows_src, tt.n AS n_rows_tgt, 'fail' AS validation_status
+FROM ss FULL OUTER JOIN tt ON ss.conv_id = tt.conv_id
+WHERE NOT (ss.n IS NOT DISTINCT FROM tt.n
+           AND ss.lo IS NOT DISTINCT FROM tt.lo
+           AND ss.hi IS NOT DISTINCT FROM tt.hi)
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. uniqueness violations on (conv_id, turn_idx)
 # ---------------------------------------------------------------------------
 
@@ -870,6 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_validation_by_day": q_grouped_validation,
         "row_hash_violations": q_row_violations,
         "partition_checksum_compare": q_partition_checksums,
+        "snapshot_delta_rows": q_snapshot_delta_rows,
+        "snapshot_diff_by_day": q_snapshot_diff_by_day,
+        "conv_rollup_mismatches": q_conv_rollup_mismatches,
         "uniqueness_violations": q_uniqueness,
         "referential_orphans": q_referential,
         "drift_psi_role": q_drift_psi,
@@ -895,6 +1055,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_validation_by_day": _SQL_GROUPED_VALIDATION,
         "row_hash_violations": _SQL_ROW_VIOLATIONS,
         "partition_checksum_compare": _SQL_PARTITION_CHECKSUMS,
+        "snapshot_delta_rows": _SQL_SNAPSHOT_DELTA_ROWS,
+        "snapshot_diff_by_day": _SQL_SNAPSHOT_DIFF_BY_DAY,
+        "conv_rollup_mismatches": _SQL_CONV_ROLLUP,
         "uniqueness_violations": _SQL_UNIQUENESS,
         "referential_orphans": _SQL_REFERENTIAL,
         "drift_psi_role": _SQL_DRIFT_PSI,

@@ -17,6 +17,11 @@ from .checksums import (
     failing_partition_predicate,
     partition_checksums,
 )
+from .snapshot import (
+    snapshot_diff,
+    snapshot_diff_rows,
+    snapshot_diff_summary,
+)
 
 __all__ = [
     "column_stats",
@@ -39,4 +44,7 @@ __all__ = [
     "checksum_compare",
     "checksum_validation",
     "failing_partition_predicate",
+    "snapshot_diff",
+    "snapshot_diff_rows",
+    "snapshot_diff_summary",
 ]
