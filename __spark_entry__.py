@@ -375,7 +375,7 @@ def _snapshot_frames(spark: SparkSession, sf_dir: str):
     return old, new
 
 
-def q_snapshot_delta_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_snapshot_delta_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot delta: which PKs were added / removed / changed
     between the validated snapshot and the current one — the same single
     full-outer binary-hash join as row_hash_violations, with add/remove
@@ -389,10 +389,19 @@ def q_snapshot_delta_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_rows(
         old.drop("ts"), new.drop("ts"), ["conv_id", "turn_idx"],
         compare_columns=["role", "text", "tool", "ts_us"],
-    ).orderBy("conv_id", "turn_idx")
+    )
 
 
-def q_snapshot_diff_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_snapshot_delta_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy only for the driver's deterministic oracle comparison
+    return _build_snapshot_delta_rows(spark, sf_dir).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+def _build_snapshot_diff_by_day(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Per-day-partition change rollup between two snapshots: the counts
     that decide which partitions a resumable validation must re-check
     (revalidate=true invalidates that partition's lineage 'success')."""
@@ -405,7 +414,12 @@ def q_snapshot_diff_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         old, new, ["conv_id", "turn_idx"],
         F.date_format("ts", "yyyy-MM-dd"),
         compare_columns=["role", "text", "tool", "ts_us"],
-    ).orderBy("partition_id")
+    )
+
+
+def q_snapshot_diff_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy only for the driver's deterministic oracle comparison
+    return _build_snapshot_diff_by_day(spark, sf_dir).orderBy("partition_id")
 
 
 # the oracle classifies with IS NOT DISTINCT FROM tuple compares — value
@@ -453,7 +467,7 @@ FROM diff GROUP BY partition_id ORDER BY partition_id
 # 4d. conversation-rollup compare (per-turn text equality, conv granularity)
 # ---------------------------------------------------------------------------
 
-def q_conv_rollup_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-granularity text-equality validation: one (count,
     120-bit XOR of sha256(turn_idx, text)) fingerprint per conv_id per side
     — the north rule's per-turn-text-equality invariant checked WITHOUT the
@@ -477,7 +491,12 @@ def q_conv_rollup_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("validation_status") == "fail").select(
         F.col("partition_id").alias("conv_id"),
         "n_rows_src", "n_rows_tgt", "validation_status",
-    ).orderBy("conv_id")
+    )
+
+
+def q_conv_rollup_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy only for the driver's deterministic oracle comparison
+    return _build_conv_rollup(spark, sf_dir).orderBy("conv_id")
 
 
 _CONV_ROLLUP_HASH_SQL = """
@@ -2661,6 +2680,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "row_hash_violations": _build_row_violations,
             "partition_checksum_compare": _build_partition_checksums,
+            "snapshot_delta_rows": _build_snapshot_delta_rows,
+            "snapshot_diff_by_day": _build_snapshot_diff_by_day,
+            "conv_rollup_mismatches": _build_conv_rollup,
             "uniqueness_violations": _build_uniqueness,
             "referential_orphans": _build_referential,
             "salted_agg_parity": _build_salted_agg,

@@ -59,6 +59,10 @@ TRAINING_BENCH = [
     "frequent_values",
     "frequent_values_mg",
     "drift_jsd_role",
+    # round-3 cont.: incremental-validation operators (transcripts-based,
+    # kept out of HEADLINE to preserve round-over-round continuity)
+    "snapshot_diff_by_day",
+    "conv_rollup_mismatches",
 ]
 
 

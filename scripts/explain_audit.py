@@ -274,6 +274,28 @@ NOTES = {
         "join over k category rows, 1-row broadcast totals, one final "
         "fold. Every exchange after the scans carries O(categories) rows."
     ),
+    "snapshot_diff_by_day": (
+        "The incremental-validation pass between two table versions: each "
+        "side projects (pks, day, 32-byte binary sha256) map-side BEFORE "
+        "its exchange, ONE full-outer sort-merge join on the PK classifies "
+        "added/removed/changed/unchanged, and the per-day rollup is a "
+        "map-side-combined count aggregate folding the joined stream — "
+        "output cardinality O(partitions). On conv_id-bucketed snapshots "
+        "the join exchanges disappear; AQE skew-split covers hot convs. "
+        "Unchanged rows (the adjacent-snapshot majority) exist only inside "
+        "the join iterator, never materialized."
+    ),
+    "conv_rollup_mismatches": (
+        "Per-turn text equality at conversation granularity WITHOUT the "
+        "O(turns) PK join: both sides fold to one (count, 120-bit "
+        "sha256-XOR over (turn_idx, text)) fingerprint per conv_id in a "
+        "map-side-combined aggregate (XOR is commutative, so partial "
+        "aggregation is exact), then a full-outer join over O(convs) "
+        "fingerprint rows emits only mismatching conversations. "
+        "Order-aware because turn_idx is hashed into every term; the "
+        "drill-down path is row_hash_violations filtered to the flagged "
+        "conv_ids."
+    ),
 }
 
 
