@@ -3151,6 +3151,82 @@ _TRAINING_QUERIES["embedding_stats"] = q_embedding_stats
 _TRAINING_ORACLES["embedding_stats"] = _SQL_EMBEDDING_STATS
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two snapshots of the vector
+    column: centroid shift (cosine + L2 between per-dimension mean
+    vectors) and norm-distribution PSI. Fixture 'new' snapshot: drop
+    vec_id % 3 = 0 and re-scale vec_id % 7 = 0 by 1.1 (a partial
+    re-embedding with a mis-scaled encoder). Bin edges are mid-centered
+    on the unit norm (lo=0.875, width 0.05) so the ~1.0 norms never sit
+    on a bin boundary — cross-engine float noise cannot flip a bin."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    emb = spark.table("embeddings")
+    v = F.col("embedding")
+    scaled = F.transform(v, lambda x: (x.cast("double") * 1.1).cast("float"))
+    new = emb.filter(F.col("vec_id") % 3 != 0).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, scaled).otherwise(v).alias(
+            "embedding"
+        ),
+    )
+    return embedding_drift(
+        emb, new, "embedding", n_bins=8, norm_lo=0.875, norm_hi=1.275
+    )
+
+
+_SQL_EMBEDDING_DRIFT = """
+WITH o AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+n AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 7 = 0 THEN list_transform(embedding,
+           x -> CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT))
+         ELSE embedding END AS emb
+  FROM embeddings WHERE vec_id % 3 <> 0),
+n2 AS (SELECT vec_id, list_transform(emb, x -> CAST(x AS DOUBLE)) AS e
+       FROM n),
+om AS (SELECT i AS pos, avg(e[i + 1]) AS m_old
+       FROM o, UNNEST(range(0, len(e))) AS u(i) GROUP BY 1),
+nm AS (SELECT i AS pos, avg(e[i + 1]) AS m_new
+       FROM n2, UNNEST(range(0, len(e))) AS u(i) GROUP BY 1),
+cen AS (
+  SELECT round(sum(m_old * m_new)
+               / sqrt(sum(m_old * m_old) * sum(m_new * m_new)), 6)
+           AS centroid_cosine,
+         round(sqrt(sum((m_old - m_new) * (m_old - m_new))), 6)
+           AS centroid_l2
+  FROM om JOIN nm USING (pos)),
+obin AS (
+  SELECT CAST(least(greatest(floor(
+    (round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) - 0.875)
+    / 0.05), 0), 7) AS INTEGER) AS bin FROM o),
+nbin AS (
+  SELECT CAST(least(greatest(floor(
+    (round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) - 0.875)
+    / 0.05), 0), 7) AS INTEGER) AS bin FROM n2),
+oc AS (SELECT bin, count(*) AS n_s FROM obin GROUP BY 1),
+nc AS (SELECT bin, count(*) AS n_t FROM nbin GROUP BY 1),
+j AS (SELECT coalesce(oc.n_s, 0) AS n_s, coalesce(nc.n_t, 0) AS n_t
+      FROM oc FULL OUTER JOIN nc ON oc.bin = nc.bin),
+tot AS (SELECT sum(n_s) AS ts, sum(n_t) AS tt FROM j),
+p AS (SELECT greatest(n_s / ts, 1e-6) AS p, greatest(n_t / tt, 1e-6) AS q
+      FROM j, tot),
+ps AS (SELECT round(sum((p - q) * ln(p / q)), 6) AS norm_psi FROM p)
+SELECT (SELECT count(*) FROM o) AS n_old,
+       (SELECT count(*) FROM n2) AS n_new,
+       centroid_cosine, centroid_l2, norm_psi
+FROM cen, ps
+"""
+
+_TRAINING_QUERIES["embedding_drift"] = q_embedding_drift
+_TRAINING_ORACLES["embedding_drift"] = _SQL_EMBEDDING_DRIFT
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event log (6h gap): per-session
     summaries. ONE shuffle on user_id; lag + running counter share the

@@ -612,3 +612,95 @@ def embedding_stats(
             "p50_norm"
         ),
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str,
+    n_bins: int = 10,
+    norm_lo: float = 0.0,
+    norm_hi: float = 2.0,
+) -> DataFrame:
+    """Distribution drift between two snapshots of an embedding column —
+    the gate that catches a silently-swapped encoder model or a corrupted
+    re-embedding batch before the vectors feed dedup/ANN (no reference
+    analog — BASELINE extension alongside the KS/PSI drift family).
+
+    Two signals in one output row:
+    - centroid shift: per-dimension means of each side (posexplode ->
+      groupBy(pos), map-side combined, shuffle = O(dim x partitions) rows),
+      joined on dimension (dim rows) and folded to cosine similarity and
+      L2 distance between the two mean vectors;
+    - norm-distribution PSI: L2 norms binned on FIXED edges
+      [norm_lo, norm_hi) (data-independent, so the binning is
+      deterministic cross-engine; outliers clamp to the edge bins),
+      fed through the same epsilon-floored ``psi`` fold the categorical
+      drift checks use.
+
+    Output: (n_old, n_new, centroid_cosine, centroid_l2, norm_psi), all
+    floats rounded 6dp for bit-stable cross-engine comparison. Nothing
+    O(rows) leaves the executors: the widest shuffle carries dim-keyed
+    partial sums; every later exchange is O(dim) or O(bins).
+    """
+    from .drift import psi
+
+    v = F.col(vec_col)
+
+    def _means(df: DataFrame, side: str) -> DataFrame:
+        ex = df.select(F.posexplode(v).alias("pos", "x"))
+        return ex.groupBy("pos").agg(
+            F.avg(F.col("x").cast("double")).alias(f"m_{side}")
+        )
+
+    cen = (
+        _means(old, "old")
+        .join(_means(new, "new"), "pos", "inner")
+        .agg(
+            F.sum(F.col("m_old") * F.col("m_new")).alias("dot"),
+            F.sum(F.col("m_old") * F.col("m_old")).alias("no"),
+            F.sum(F.col("m_new") * F.col("m_new")).alias("nn"),
+            F.sum(
+                (F.col("m_old") - F.col("m_new"))
+                * (F.col("m_old") - F.col("m_new"))
+            ).alias("d2"),
+        )
+        .select(
+            F.round(
+                F.col("dot") / F.sqrt(F.col("no") * F.col("nn")), 6
+            ).alias("centroid_cosine"),
+            F.round(F.sqrt(F.col("d2")), 6).alias("centroid_l2"),
+        )
+    )
+
+    width = (norm_hi - norm_lo) / n_bins
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                v,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    bin_idx = F.least(
+        F.greatest(
+            F.floor((norm - F.lit(norm_lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+
+    def _binned(df: DataFrame) -> DataFrame:
+        return df.filter(v.isNotNull()).select(bin_idx.alias("bin"))
+
+    ob, nb = _binned(old), _binned(new)
+    norm_psi = psi(ob, nb, F.col("bin")).select(
+        F.round(F.col("psi"), 6).alias("norm_psi")
+    )
+    counts = old.agg(
+        F.count(v).cast("long").alias("n_old")
+    ).crossJoin(new.agg(F.count(v).cast("long").alias("n_new")))
+    return (
+        counts.crossJoin(F.broadcast(cen)).crossJoin(F.broadcast(norm_psi))
+    )
