@@ -42,6 +42,12 @@ Three entry styles (all through ``main``):
     #    heavy hitters, numeric percentiles; --approx = sketch paths
     psdv-spark profile --source-path t/ --top-k 5 --output prof/
 
+    # 8. incremental validation between two versions of one table
+    #    (operators/snapshot.py): exit 1 = partitions need revalidation
+    psdv-spark snapshot-diff --old-path v1/ --new-path v2/ \
+        --primary-keys conv_id,turn_idx --partition-by 'CAST(ts AS DATE)' \
+        --rows-output delta/ --summary-output rollup/
+
 Cluster usage:
     ./package.sh                         # builds dist/psdv_spark.zip
     spark-submit --py-files dist/psdv_spark.zip \
@@ -403,6 +409,35 @@ def build_parser() -> argparse.ArgumentParser:
     )
     prof.add_argument("--output", default=None,
                       help="parquet output dir (one subdir per section)")
+
+    # snapshot-diff: incremental validation between two versions of the
+    # same table (operators/snapshot.py; the Iceberg snapshot-to-snapshot
+    # step — reference analog is re-running validate row between versions)
+    sd = sub.add_parser(
+        "snapshot-diff",
+        help="classify added/removed/changed rows between two versions "
+        "of one table and roll the counts up per partition; exit 1 when "
+        "anything changed (partitions need revalidation)",
+    )
+    sd.add_argument("--old-path", help="parquet path of the old version")
+    sd.add_argument("--old-table", help="catalog name of the old version")
+    sd.add_argument("--new-path", help="parquet path of the new version")
+    sd.add_argument("--new-table", help="catalog name of the new version")
+    sd.add_argument("--primary-keys", required=True,
+                    help="comma-separated PK columns")
+    sd.add_argument("--compare-columns", default=None,
+                    help="comma list to hash-compare (default: every "
+                    "shared non-PK column)")
+    sd.add_argument("--partition-by", default=None,
+                    help="partition expression for the rollup, e.g. "
+                    "'CAST(ts AS DATE)' (omit = whole-table rollup)")
+    sd.add_argument("--rows-output", default=None,
+                    help="parquet dir for the row-level delta "
+                    "(added/removed/changed PKs)")
+    sd.add_argument("--summary-output", default=None,
+                    help="parquet dir for the per-partition rollup")
+    sd.add_argument("--max-print", type=int, default=50,
+                    help="summary rows printed to stdout")
     return top
 
 
@@ -816,6 +851,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_expect(args)
     if args.command == "profile":
         return _run_profile(args)
+    if args.command == "snapshot-diff":
+        return _run_snapshot_diff(args)
     if args.command == "validate":
         cfg_dict = _config_dict_from_flags(args)
         if args.config_file or args.config_file_json:
@@ -1305,3 +1342,86 @@ def _run_expect(args: argparse.Namespace) -> int:
         if not preexisting:
             spark.stop()
     return 1 if n_fail else 0
+
+
+def _run_snapshot_diff(args: argparse.Namespace) -> int:
+    """Snapshot-diff job: classify per-PK changes between two versions of
+    one table, print/write the per-partition rollup, optionally write the
+    row-level delta. The classified diff is computed ONCE and persisted —
+    the rollup, the optional row sink, and the exit-code count all reuse
+    the same materialization (the report-persist lesson from the validate
+    job: never re-execute the join per consumer)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from .operators.snapshot import snapshot_diff, UNCHANGED
+    from .session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("psdv-snapshot-diff")
+    try:
+        old = _load_side(spark, args.old_path, args.old_table)
+        new = _load_side(spark, args.new_path, args.new_table)
+        pks = _split_cols(args.primary_keys)
+        part = (
+            F.expr(args.partition_by)
+            if args.partition_by
+            else F.lit("__all__")
+        )
+        diff = snapshot_diff(
+            old, new, pks,
+            compare_columns=_split_cols(args.compare_columns),
+            partition_col=part,
+        )
+        # the unchanged majority is dropped BEFORE persist: the cached
+        # frame is O(changes) + one count row per partition
+        changed = diff.filter(F.col("diff_status") != UNCHANGED).persist()
+        # rollup WITHOUT re-running the join: removed/changed/unchanged
+        # rows all carry the old side's partition value, so
+        # n_unchanged = n_old(partition) - n_removed - n_changed — one
+        # extra scan of the old side instead of a second two-sided join
+        chg = changed.groupBy("partition_id").agg(
+            F.count(F.when(F.col("diff_status") == "added", 1)).alias(
+                "n_added"),
+            F.count(F.when(F.col("diff_status") == "removed", 1)).alias(
+                "n_removed"),
+            F.count(F.when(F.col("diff_status") == "changed", 1)).alias(
+                "n_changed"),
+        )
+        n_old = old.groupBy(part.alias("partition_id")).agg(
+            F.count(F.lit(1)).alias("n_old")
+        )
+        counts = (
+            n_old.join(chg, "partition_id", "full_outer")
+            .fillna(0, ["n_old", "n_added", "n_removed", "n_changed"])
+            .select(
+                "partition_id", "n_added", "n_removed", "n_changed",
+                (F.col("n_old") - F.col("n_removed") - F.col("n_changed"))
+                .alias("n_unchanged"),
+                (
+                    (F.col("n_added") > 0) | (F.col("n_removed") > 0)
+                    | (F.col("n_changed") > 0)
+                ).alias("revalidate"),
+            )
+        )
+        summ_rows = counts.orderBy("partition_id").limit(
+            args.max_print
+        ).collect()
+        pdf = pd.DataFrame(
+            [r.asDict() for r in summ_rows],
+            columns=["partition_id", "n_added", "n_removed", "n_changed",
+                     "n_unchanged", "revalidate"],
+        )
+        print(pdf.to_string(index=False))
+        if args.summary_output:
+            counts.write.mode("overwrite").parquet(args.summary_output)
+        if args.rows_output:
+            changed.write.mode("overwrite").parquet(args.rows_output)
+        n_changed = changed.count()
+        print(f"\nchanged rows: {n_changed}")
+        changed.unpersist()
+        return 1 if n_changed else 0
+    finally:
+        if not preexisting:
+            spark.stop()

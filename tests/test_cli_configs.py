@@ -396,3 +396,75 @@ def test_cli_profile_matches_operators(spark, tmp_path, capsys):
     # cardinality), HLL cardinalities, t-digest percentiles
     assert "== frequent_values ==" in stdout
     assert "== categorical ==" in stdout and "== numeric ==" in stdout
+
+
+def test_cli_snapshot_diff_matches_operator(spark, tmp_path, capsys):
+    """`snapshot-diff` job output matches the snapshot_diff operator run
+    directly; exit code 1 iff anything changed, 0 on identical versions."""
+    from pyspark.sql import functions as F
+
+    from professional_services_data_validator_spark.cli import main
+    from professional_services_data_validator_spark.operators.snapshot import (
+        snapshot_diff_rows,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "id int, part string, val int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 21), (4, "b", 40), (5, "b", 50)],
+        "id int, part string, val int",
+    )
+    od, nd = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(od)
+    new.write.parquet(nd)
+    rows_out = str(tmp_path / "delta")
+    summ_out = str(tmp_path / "rollup")
+
+    rc = main([
+        "snapshot-diff",
+        "--old-path", od, "--new-path", nd,
+        "--primary-keys", "id",
+        "--partition-by", "part",
+        "--rows-output", rows_out,
+        "--summary-output", summ_out,
+    ])
+    capsys.readouterr()
+    assert rc == 1  # changes found -> revalidation needed
+
+    got_rows = {
+        (r["id"], r["diff_status"])
+        for r in spark.read.parquet(rows_out).collect()
+    }
+    want_rows = {
+        (r["id"], r["diff_status"])
+        for r in snapshot_diff_rows(
+            old, new, ["id"], partition_col=F.col("part")
+        ).collect()
+    }
+    assert got_rows == want_rows
+
+    got_summ = {
+        r["partition_id"]: (r["n_added"], r["n_removed"], r["n_changed"],
+                            r["n_unchanged"], r["revalidate"])
+        for r in spark.read.parquet(summ_out).collect()
+    }
+    want_summ = {
+        r["partition_id"]: (r["n_added"], r["n_removed"], r["n_changed"],
+                            r["n_unchanged"], r["revalidate"])
+        for r in snapshot_diff_summary(
+            old, new, ["id"], F.col("part")
+        ).collect()
+    }
+    assert got_summ == want_summ
+
+    # identical versions: clean exit, nothing to revalidate
+    rc = main([
+        "snapshot-diff",
+        "--old-path", od, "--new-path", od,
+        "--primary-keys", "id",
+    ])
+    capsys.readouterr()
+    assert rc == 0
