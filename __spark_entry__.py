@@ -1895,6 +1895,68 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-split balance gate: after the conv_id-keyed hash split, each
+    split's row share, whole-conversation count, and role-distribution JSD
+    vs the corpus (0 = perfectly balanced; whole conversations land in one
+    split, so per-split role mixes drift only by conversation composition).
+    operators/sampling.py split_balance."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.sampling import (
+        split_balance,
+    )
+
+    return split_balance(
+        spark.table("transcripts"), ["conv_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        F.col("role"), seed=42,
+    ).orderBy("split")
+
+
+def _split_balance_oracle_sql() -> str:
+    from professional_services_data_validator_spark.operators.sampling import (
+        split_thresholds,
+    )
+
+    t_train, t_val = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""{_CTES},
+s AS (SELECT conv_id, role,
+  CASE
+    WHEN substring(md5('42|' || CAST(conv_id AS VARCHAR)), 1, 8)
+         < '{t_train}' THEN 'train'
+    WHEN substring(md5('42|' || CAST(conv_id AS VARCHAR)), 1, 8)
+         < '{t_val}' THEN 'val'
+    ELSE 'test'
+  END AS split
+  FROM transcripts),
+cat AS (SELECT split, role AS v, count(*) AS n FROM s GROUP BY 1, 2),
+corpus AS (SELECT v, sum(n) AS n_c FROM cat GROUP BY 1),
+grid AS (SELECT DISTINCT split FROM cat),
+g AS (SELECT grid.split, corpus.v, corpus.n_c, coalesce(cat.n, 0) AS n
+      FROM grid CROSS JOIN corpus
+      LEFT JOIN cat ON cat.split = grid.split AND cat.v = corpus.v),
+tots AS (SELECT split, sum(n) AS tot_s FROM g GROUP BY 1),
+totc AS (SELECT sum(n_c) AS tot_c FROM corpus),
+pq AS (SELECT g.split, n * 1.0 / tot_s AS p, n_c * 1.0 / tot_c AS q,
+              tot_s, tot_c
+       FROM g JOIN tots USING (split), totc),
+jsd AS (SELECT split,
+   round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+                        ELSE 0 END)
+       + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+                        ELSE 0 END), 6) AS cat_jsd,
+   max(tot_s) AS n_rows, max(tot_c) AS tot_c FROM pq GROUP BY 1),
+nk AS (SELECT split, count(DISTINCT conv_id) AS n_keys FROM s GROUP BY 1)
+SELECT jsd.split, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_keys AS BIGINT) AS n_keys,
+  round(n_rows * 1.0 / tot_c, 6) AS row_frac, cat_jsd
+FROM jsd JOIN nk USING (split) ORDER BY split
+"""
+
+
+_TRAINING_QUERIES["split_balance"] = q_split_balance
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: offset-binned (shard, bin_id) assignment filling a
     512-token budget, one parallel window per md5 shard (no global sort, no
@@ -2276,6 +2338,7 @@ _TRAINING_ORACLES.update(
         "corpus_curation": _SQL_CORPUS_CURATION,
         "decontaminate": _SQL_DECONTAMINATE,
         "hash_split": _hash_split_oracle_sql(),
+        "split_balance": _split_balance_oracle_sql(),
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "unigram_logppl": _SQL_UNIGRAM_LOGPPL,

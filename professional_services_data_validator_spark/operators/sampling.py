@@ -165,3 +165,93 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= n_per_group)
         .drop("__h")
     )
+
+
+def split_balance(
+    df: DataFrame,
+    keys: list[str],
+    weights: dict[str, float],
+    category_col,
+    seed: int = 42,
+    exact_keys: bool = True,
+) -> DataFrame:
+    """Post-split balance report: after ``hash_split``, verify each split
+    got (a) its weight share of rows, (b) whole key groups (counted), and
+    (c) the same categorical mix as the corpus — the imbalance/leakage
+    gate a training pipeline runs right after splitting (no reference
+    analog; BASELINE training-pipeline extension).
+
+    Output one row per split: (split, n_rows, n_keys, row_frac,
+    cat_jsd) where ``cat_jsd`` is the Jensen-Shannon divergence between
+    the split's ``category_col`` distribution and the whole corpus's
+    (bounded [0, ln 2]; 0 = perfectly balanced; no epsilon floor — the
+    same zero-count CASE as ``drift.jensen_shannon``).
+
+    Scale posture: ONE (split, category) count aggregate (map-side
+    combined; the corpus distribution is re-aggregated FROM those counts,
+    never a second scan) joined over the tiny splits x categories grid;
+    the key count is a two-level (split, keys) -> (split) aggregate, or
+    one HyperLogLog++ pass under ``exact_keys=False`` when even the
+    distinct key stream is huge.
+    """
+    s = hash_split(df, keys, weights, seed=seed)
+    v = category_col
+    cat = s.groupBy("split", v.alias("v")).agg(F.count(F.lit(1)).alias("n"))
+    corpus = cat.groupBy("v").agg(F.sum("n").alias("n_c"))
+    # complete the grid so categories absent from a split still contribute
+    # their corpus-side JSD term
+    grid = cat.select("split").distinct().crossJoin(corpus)
+    g = (
+        grid.join(cat, ["split", "v"], "left")
+        .fillna(0, ["n"])
+    )
+    tot_split = g.groupBy("split").agg(F.sum("n").alias("tot_s"))
+    tot_corpus = corpus.agg(F.sum("n_c").alias("tot_c"))
+    pq = (
+        g.join(tot_split, "split")
+        .crossJoin(F.broadcast(tot_corpus))
+        .select(
+            "split",
+            (F.col("n") / F.col("tot_s")).alias("p"),
+            (F.col("n_c") / F.col("tot_c")).alias("q"),
+            "tot_s", "tot_c",
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term_p = F.when(
+        F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)
+    ).otherwise(0.0)
+    term_q = F.when(
+        F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)
+    ).otherwise(0.0)
+    jsd = pq.groupBy("split").agg(
+        F.round(0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), 6).alias(
+            "cat_jsd"
+        ),
+        F.max("tot_s").alias("n_rows"),
+        F.max("tot_c").alias("tot_c"),
+    )
+    if exact_keys:
+        nk = (
+            s.select("split", *keys).groupBy("split", *keys).agg(
+                F.lit(1).alias("__one")
+            )
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+        )
+    else:
+        nk = s.groupBy("split").agg(
+            F.approx_count_distinct(F.concat_ws("\x1f", *keys)).alias(
+                "n_keys"
+            )
+        )
+    return (
+        jsd.join(nk, "split")
+        .select(
+            "split",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round(F.col("n_rows") / F.col("tot_c"), 6).alias("row_frac"),
+            "cat_jsd",
+        )
+    )

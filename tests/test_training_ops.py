@@ -950,3 +950,92 @@ def test_unigram_logperplexity_hand_computed(spark):
     assert rows[3]["logppl"] == round(lb, 6)
     assert rows[1]["logppl"] < rows[2]["logppl"] < rows[3]["logppl"]
     assert rows[4]["n_tokens"] == 0 and rows[4]["logppl"] is None
+
+
+# ---------------------------------------------------------------------------
+# split_balance (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_split_balance_totals_and_zero_jsd(spark):
+    """Row counts partition the input; identical per-key category mixes
+    give cat_jsd == 0 for every split."""
+    from professional_services_data_validator_spark.operators.sampling import (
+        split_balance,
+    )
+
+    # every key carries the same (a, b) category pair -> every split's
+    # category distribution equals the corpus's exactly
+    rows = [(f"k{i}", c) for i in range(40) for c in ("a", "b")]
+    df = spark.createDataFrame(rows, "key string, cat string")
+    out = split_balance(
+        df, ["key"], {"train": 0.5, "val": 0.5}, F.col("cat"), seed=7
+    ).collect()
+    assert sum(r["n_rows"] for r in out) == 80
+    assert sum(r["n_keys"] for r in out) == 40
+    assert abs(sum(r["row_frac"] for r in out) - 1.0) < 1e-6
+    for r in out:
+        assert r["cat_jsd"] == 0.0
+        assert r["n_rows"] == 2 * r["n_keys"]  # group coherence
+
+
+def test_split_balance_flags_missing_category(spark):
+    """A category concentrated in one split raises that split's JSD and
+    the absent side still contributes its corpus term (grid completion)."""
+    from professional_services_data_validator_spark.operators.sampling import (
+        split_balance,
+    )
+
+    # find a key that lands in 'val' under this seed, give it a unique
+    # category; all other keys get 'common'
+    from professional_services_data_validator_spark.operators.sampling import (
+        hash_split,
+    )
+
+    base = spark.createDataFrame(
+        [(f"k{i}",) for i in range(60)], "key string"
+    )
+    splits = {
+        r["key"]: r["split"]
+        for r in hash_split(
+            base, ["key"], {"train": 0.5, "val": 0.5}, seed=7
+        ).collect()
+    }
+    val_key = next(k for k, s in splits.items() if s == "val")
+    rows = [
+        (k, "rare" if k == val_key else "common") for k in splits
+    ]
+    df = spark.createDataFrame(rows, "key string, cat string")
+    out = {
+        r["split"]: r["cat_jsd"]
+        for r in split_balance(
+            df, ["key"], {"train": 0.5, "val": 0.5}, F.col("cat"), seed=7
+        ).collect()
+    }
+    # 'rare' exists only in val: train's JSD must be > 0 (it misses a
+    # corpus category), and val's too (it over-represents it)
+    assert out["train"] > 0.0 and out["val"] > 0.0
+
+
+def test_split_balance_exact_vs_hll_keys(spark):
+    from professional_services_data_validator_spark.operators.sampling import (
+        split_balance,
+    )
+
+    rows = [(f"k{i}", "x") for i in range(50)]
+    df = spark.createDataFrame(rows, "key string, cat string")
+    exact = {
+        r["split"]: r["n_keys"]
+        for r in split_balance(
+            df, ["key"], {"a": 0.5, "b": 0.5}, F.col("cat")
+        ).collect()
+    }
+    approx = {
+        r["split"]: r["n_keys"]
+        for r in split_balance(
+            df, ["key"], {"a": 0.5, "b": 0.5}, F.col("cat"),
+            exact_keys=False,
+        ).collect()
+    }
+    for s, n in exact.items():
+        assert abs(approx[s] - n) <= max(2, 0.1 * n)  # HLL within 10%
