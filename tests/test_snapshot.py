@@ -130,3 +130,40 @@ def test_plan_hash_before_exchange(spark):
     # both sides must project the hash BELOW the join (map-side)
     below = plan[plan.index(join_lines[0]):]
     assert below.count("sha2") >= 2, below
+
+
+def test_revalidate_rollup_gates_row_drilldown(spark):
+    """The incremental-validation composition: the per-partition rollup's
+    revalidate flags select exactly the partitions whose rows need the
+    expensive re-validation — drilling down only into flagged partitions
+    finds every changed PK, and clean partitions are never selected."""
+    old = spark.createDataFrame(
+        [(1, "p1", 10), (2, "p1", 20), (3, "p2", 30), (4, "p2", 40),
+         (5, "p3", 50)],
+        "id int, part string, val int",
+    )
+    new = spark.createDataFrame(
+        [(1, "p1", 10), (2, "p1", 20),          # p1 clean
+         (3, "p2", 31), (4, "p2", 40),          # p2 changed
+         (5, "p3", 50), (6, "p3", 60)],         # p3 added
+        "id int, part string, val int",
+    )
+    summ = snapshot_diff_summary(old, new, ["id"], F.col("part")).collect()
+    dirty = {r["partition_id"] for r in summ if r["revalidate"]}
+    assert dirty == {"p2", "p3"}
+    # drilldown: diff restricted to flagged partitions == full delta
+    full_delta = {
+        (r["id"], r["diff_status"])
+        for r in snapshot_diff_rows(
+            old, new, ["id"], partition_col=F.col("part")
+        ).collect()
+    }
+    drill = {
+        (r["id"], r["diff_status"])
+        for r in snapshot_diff_rows(
+            old.filter(F.col("part").isin(dirty)),
+            new.filter(F.col("part").isin(dirty)),
+            ["id"], partition_col=F.col("part"),
+        ).collect()
+    }
+    assert drill == full_delta == {(3, "changed"), (6, "added")}
