@@ -1121,6 +1121,55 @@ FROM h WHERE keep_rank > 1 ORDER BY conv_id, turn_idx
 """
 
 
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation exact dedup: drop conversations whose ordered
+    (turn_idx, text) transcript already exists under a smaller conv_id.
+    Fixture plants duplicates by re-keying every conv with
+    uid % 97 = 3 as '<conv_id>_dup' — the operator must flag exactly the
+    re-keyed copies (original keys sort first). operators/dedup.py
+    group_exact_dedup: per-conv XOR-fingerprint fold (map-side combined)
+    + keep-rank window over the fingerprint."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        group_exact_dedup,
+    )
+
+    base = spark.table("transcripts").select("conv_id", "turn_idx", "text")
+    dup = base.filter(
+        F.expr("CAST(substring(conv_id, 2) AS INT) % 97 = 3")
+    ).select(
+        F.concat(F.col("conv_id"), F.lit("_dup")).alias("conv_id"),
+        "turn_idx", "text",
+    )
+    u = base.unionByName(dup)
+    return group_exact_dedup(
+        u, ["conv_id"], "turn_idx", "text"
+    ).orderBy("conv_id")
+
+
+_SQL_CONV_DEDUP = f"""{_CTES},
+base AS (SELECT conv_id, turn_idx, text FROM transcripts),
+dup AS (SELECT conv_id || '_dup' AS conv_id, turn_idx, text FROM base
+        WHERE CAST(substring(conv_id, 2) AS INT) % 97 = 3),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+h AS (SELECT conv_id,
+  sha256(rtrim(coalesce(CAST(turn_idx AS VARCHAR),
+                        'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(text AS VARCHAR),
+                        'DEFAULT_REPLACEMENT_STRING'))) AS hh
+  FROM u),
+fp AS (SELECT conv_id, count(*) AS n_rows,
+  CAST(bit_xor(('0x' || substr(hh, 1, 15))::BIGINT) AS BIGINT) AS fp_lo,
+  CAST(bit_xor(('0x' || substr(hh, 16, 15))::BIGINT) AS BIGINT) AS fp_hi
+  FROM h GROUP BY 1),
+r AS (SELECT conv_id, n_rows, fp_lo, fp_hi,
+  row_number() OVER (PARTITION BY n_rows, fp_lo, fp_hi
+                     ORDER BY conv_id) AS keep_rank
+  FROM fp)
+SELECT conv_id, n_rows, fp_lo, fp_hi, keep_rank
+FROM r WHERE keep_rank > 1 ORDER BY conv_id
+"""
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     from professional_services_data_validator_spark.operators.dedup import (
@@ -1333,6 +1382,7 @@ FROM grams ORDER BY id
 
 _TRAINING_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "conv_dedup_exact": q_conv_dedup,
     "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash_16": q_simhash,
@@ -1344,6 +1394,7 @@ _TRAINING_QUERIES = {
 
 _TRAINING_ORACLES = {
     "dedup_exact": _SQL_DEDUP_EXACT,
+    "conv_dedup_exact": _SQL_CONV_DEDUP,
     "minhash_signatures": _SQL_MINHASH,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
     "simhash_16": _SQL_SIMHASH,

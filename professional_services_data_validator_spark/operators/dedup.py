@@ -637,3 +637,53 @@ def cross_doc_shingle_dups(
             ).alias("shared_frac"),
         )
     )
+
+
+def group_exact_dedup(
+    df: DataFrame,
+    group_keys: list[str],
+    order_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Whole-group exact dedup: groups (conversations) to DROP because an
+    identical ordered sequence of texts already exists under a smaller key
+    (no reference analog -- BASELINE training-pipeline extension: dropping
+    duplicated *conversations*, not duplicated turns).
+
+    Each group folds to a (n_rows, 120-bit XOR of sha256(order, text))
+    fingerprint -- the checksum operator's map-side-combined XOR fold, so
+    the shuffle carries one partial row per group per partition and the
+    fold is order-independent while staying order-AWARE (the order column
+    is hashed into every term: two conversations match iff they have the
+    same (turn_idx, text) multiset, i.e. identical ordered transcripts).
+    Keep-rank then windows over the fingerprint (the exact_dedup shape):
+    the smallest group key is the canonical keeper; rows with
+    keep_rank > 1 are the drop list.
+
+    Collision posture: a false merge needs two different transcripts whose
+    counts match and whose 120 sha256-derived XOR bits all agree
+    (~2^-120); append an equality-verify join on the candidate pairs if
+    that bound ever matters.
+
+    Output: (group_keys..., n_rows, fp_lo, fp_hi, keep_rank) filtered to
+    keep_rank > 1.
+    """
+    from ..functions.calculated import build_row_hash
+
+    hashed = build_row_hash(df, [order_col, text_col])
+    lo = F.conv(F.substring("hash__all", 1, 15), 16, 10).cast("long")
+    hi = F.conv(F.substring("hash__all", 16, 15), 16, 10).cast("long")
+    from .aggregates import _bit_xor
+
+    fp = hashed.groupBy(*group_keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _bit_xor(lo).alias("fp_lo"),
+        _bit_xor(hi).alias("fp_hi"),
+    )
+    w = Window.partitionBy("n_rows", "fp_lo", "fp_hi").orderBy(
+        *[F.col(k) for k in group_keys]
+    )
+    return (
+        fp.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") > 1)
+    )

@@ -1039,3 +1039,40 @@ def test_split_balance_exact_vs_hll_keys(spark):
     }
     for s, n in exact.items():
         assert abs(approx[s] - n) <= max(2, 0.1 * n)  # HLL within 10%
+
+
+# ---------------------------------------------------------------------------
+# group_exact_dedup (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_group_exact_dedup_flags_identical_conversations(spark):
+    from professional_services_data_validator_spark.operators.dedup import (
+        group_exact_dedup,
+    )
+
+    rows = [
+        ("a", 0, "hi"), ("a", 1, "there"),
+        ("b", 0, "hi"), ("b", 1, "there"),      # exact copy of a
+        ("c", 0, "there"), ("c", 1, "hi"),      # same texts, swapped order
+        ("d", 0, "hi"),                         # prefix only
+    ]
+    df = spark.createDataFrame(rows, "conv string, idx int, text string")
+    out = group_exact_dedup(df, ["conv"], "idx", "text").collect()
+    # only b is a true ordered duplicate; keeper 'a' sorts first
+    assert [(r["conv"], r["keep_rank"]) for r in out] == [("b", 2)]
+
+
+def test_group_exact_dedup_order_awareness(spark):
+    """Same multiset of texts under different turn indexes is NOT a
+    duplicate (the order column is hashed into every fold term)."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        group_exact_dedup,
+    )
+
+    rows = [
+        ("a", 0, "x"), ("a", 1, "y"),
+        ("b", 1, "x"), ("b", 0, "y"),
+    ]
+    df = spark.createDataFrame(rows, "conv string, idx int, text string")
+    assert group_exact_dedup(df, ["conv"], "idx", "text").count() == 0
