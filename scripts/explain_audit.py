@@ -296,6 +296,32 @@ NOTES = {
         "drill-down path is row_hash_violations filtered to the flagged "
         "conv_ids."
     ),
+    "conv_dedup_exact": (
+        "Whole-conversation dedup without concatenating transcripts: the "
+        "same per-conv XOR-fingerprint fold as conv_rollup (map-side "
+        "combined, shuffle = one partial row per conv per partition), "
+        "then a keep-rank window partitioned BY the fingerprint — "
+        "almost every fingerprint is unique, so window partitions are "
+        "tiny and skew-free; only the drop list (keep_rank > 1) "
+        "materializes."
+    ),
+    "split_balance": (
+        "One map-only hash_split projection feeds ONE (split, category) "
+        "count aggregate; the corpus distribution is re-aggregated FROM "
+        "those counts (no second scan) and the JSD fold runs over the "
+        "completed splits x categories grid — O(|splits| x |cats|) rows. "
+        "The only O(rows)-keyed exchange is the exact distinct-key count "
+        "(two-level aggregate); exact_keys=False swaps it for one "
+        "HyperLogLog++ pass when even the key stream is huge."
+    ),
+    "embedding_drift": (
+        "Centroid shift: posexplode is partially aggregated map-side, so "
+        "the shuffle carries (dim x partitions) partial sums, never "
+        "exploded rows; the centroid join is dim rows. Norm PSI: norms "
+        "bin map-side onto FIXED mid-centered edges (no data-dependent "
+        "quantiles, no extra pass), counts aggregate to O(bins) rows. "
+        "Nothing O(rows) crosses an exchange or reaches the driver."
+    ),
 }
 
 
