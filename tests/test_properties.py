@@ -272,3 +272,52 @@ def test_pack_sequences_layout_invariants(spark, sizes, budget):
         last_bin[r["shard"]] = r["bin_id"]
         cum[r["shard"]] = c + r["n_tokens"]
     assert len(rows) == len(sizes)
+
+
+# --- snapshot_diff: statuses partition the PK universe -----------------------
+
+@st.composite
+def _version_pair(draw):
+    ids = draw(st.sets(st.integers(0, 30), min_size=1, max_size=15))
+    def table(keys):
+        return {
+            k: draw(st.integers(0, 3))  # small value space forces overlaps
+            for k in keys
+        }
+    old_keys = draw(st.sets(st.sampled_from(sorted(ids)), max_size=12))
+    new_keys = draw(st.sets(st.sampled_from(sorted(ids)), max_size=12))
+    return table(old_keys), table(new_keys)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_version_pair())
+def test_snapshot_diff_statuses_partition_pk_universe(spark, pair):
+    """For ANY version pair: added = new-only keys, removed = old-only,
+    changed/unchanged split the intersection by value equality, and every
+    key appears exactly once."""
+    from professional_services_data_validator_spark.operators.snapshot import (
+        snapshot_diff,
+    )
+
+    old_map, new_map = pair
+    schema = "id int, val int"
+    old = spark.createDataFrame(sorted(old_map.items()) or [(None, None)],
+                                schema).filter(F.col("id").isNotNull())
+    new = spark.createDataFrame(sorted(new_map.items()) or [(None, None)],
+                                schema).filter(F.col("id").isNotNull())
+    got = {
+        r["id"]: r["diff_status"]
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    ok, on = set(old_map), set(new_map)
+    want = {}
+    for k in ok | on:
+        if k not in ok:
+            want[k] = "added"
+        elif k not in on:
+            want[k] = "removed"
+        elif old_map[k] == new_map[k]:
+            want[k] = "unchanged"
+        else:
+            want[k] = "changed"
+    assert got == want
