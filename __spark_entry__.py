@@ -527,6 +527,74 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# 4e. profile-compare validation (distribution shape, no PK alignment)
+# ---------------------------------------------------------------------------
+
+def q_profile_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-profile validation of text length per role: source vs
+    target numeric_profile (count/min/max/avg/std/p50/p90/p99) melted to
+    one verdict row per (role, metric) — the shape check for tables whose
+    PKs don't align (operators/aggregates.py profile_compare)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        profile_compare,
+    )
+
+    src = spark.table("transcripts").select(
+        "role", F.length("text").alias("text_len")
+    )
+    tgt = spark.table("transcripts_target").select(
+        "role", F.length("text").alias("text_len")
+    )
+    return profile_compare(
+        src, tgt, ["role"], "text_len", threshold_pct=0.5
+    ).orderBy("role", "metric")
+
+
+_PROFILE_SQL = """
+  SELECT role, CAST(count(v) AS DOUBLE) AS n,
+    min(v) AS vmin, max(v) AS vmax,
+    round(avg(v), 6) AS avg, round(stddev_samp(v), 6) AS std,
+    round(quantile_cont(v, 0.5), 6) AS p_50,
+    round(quantile_cont(v, 0.9), 6) AS p_90,
+    round(quantile_cont(v, 0.99), 6) AS p_99
+  FROM (SELECT role, CAST(length(text) AS DOUBLE) AS v FROM {tbl}) z
+  GROUP BY 1"""
+
+_SQL_PROFILE_COMPARE = f"""{_CTES},
+sp AS ({_PROFILE_SQL.format(tbl='transcripts')}),
+tp AS ({_PROFILE_SQL.format(tbl='transcripts_target')}),
+j AS (SELECT coalesce(sp.role, tp.role) AS role,
+  sp.n AS s_n, tp.n AS t_n, sp.vmin AS s_vmin, tp.vmin AS t_vmin,
+  sp.vmax AS s_vmax, tp.vmax AS t_vmax, sp.avg AS s_avg, tp.avg AS t_avg,
+  sp.std AS s_std, tp.std AS t_std, sp.p_50 AS s_p_50, tp.p_50 AS t_p_50,
+  sp.p_90 AS s_p_90, tp.p_90 AS t_p_90, sp.p_99 AS s_p_99,
+  tp.p_99 AS t_p_99
+  FROM sp FULL OUTER JOIN tp ON sp.role = tp.role),
+u AS (
+  SELECT role, 'n' AS metric, s_n AS source_value, t_n AS target_value
+  FROM j
+  UNION ALL SELECT role, 'vmin', s_vmin, t_vmin FROM j
+  UNION ALL SELECT role, 'vmax', s_vmax, t_vmax FROM j
+  UNION ALL SELECT role, 'avg', s_avg, t_avg FROM j
+  UNION ALL SELECT role, 'std', s_std, t_std FROM j
+  UNION ALL SELECT role, 'p_50', s_p_50, t_p_50 FROM j
+  UNION ALL SELECT role, 'p_90', s_p_90, t_p_90 FROM j
+  UNION ALL SELECT role, 'p_99', s_p_99, t_p_99 FROM j)
+SELECT role, metric, source_value, target_value,
+  round((target_value - source_value) / nullif(source_value, 0) * 100.0,
+        6) AS pct_diff,
+  CASE WHEN (source_value IS NULL) <> (target_value IS NULL)
+         OR coalesce(abs(round((target_value - source_value)
+                / nullif(source_value, 0) * 100.0, 6)) > 0.5, false)
+         OR (source_value IS NOT NULL AND target_value IS NOT NULL
+             AND source_value = 0 AND target_value <> 0)
+       THEN 'fail' ELSE 'success' END AS validation_status
+FROM u ORDER BY role, metric
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. uniqueness violations on (conv_id, turn_idx)
 # ---------------------------------------------------------------------------
 
@@ -1049,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta_rows": q_snapshot_delta_rows,
         "snapshot_diff_by_day": q_snapshot_diff_by_day,
         "conv_rollup_mismatches": q_conv_rollup_mismatches,
+        "profile_compare_by_role": q_profile_compare,
         "uniqueness_violations": q_uniqueness,
         "referential_orphans": q_referential,
         "drift_psi_role": q_drift_psi,
@@ -1077,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delta_rows": _SQL_SNAPSHOT_DELTA_ROWS,
         "snapshot_diff_by_day": _SQL_SNAPSHOT_DIFF_BY_DAY,
         "conv_rollup_mismatches": _SQL_CONV_ROLLUP,
+        "profile_compare_by_role": _SQL_PROFILE_COMPARE,
         "uniqueness_violations": _SQL_UNIQUENESS,
         "referential_orphans": _SQL_REFERENTIAL,
         "drift_psi_role": _SQL_DRIFT_PSI,

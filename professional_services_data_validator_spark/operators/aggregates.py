@@ -516,3 +516,96 @@ def frequent_values_approx(
         )
         .orderBy("column", "rank")
     )
+
+
+def profile_compare(
+    source: DataFrame,
+    target: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    threshold_pct: float = 0.0,
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Distribution-profile validation: compare source vs target
+    ``numeric_profile`` per group, one long-format row per (group, metric)
+    with the percent difference and a verdict — the validation to run when
+    PKs don't align (different grain, sampled copies, post-transform
+    tables) but the SHAPE of a numeric column must survive (reference
+    analog: column validation min/max/avg/std, query_builder.py:37-115;
+    quantile metrics are a BASELINE extension the reference cannot
+    express).
+
+    Plan: one single-pass profile aggregate per side (map-side combined;
+    ``mode='approx'`` = t-digest sketches for the 100-TB path), a
+    full-outer join over O(groups) profile rows, then the combiner's
+    explode(array(structs)) melt over |metrics| entries — every exchange
+    after the scans carries O(groups) rows.
+
+    ``pct_diff`` = (target - source) / source * 100 (NULL when the source
+    value is 0 or either side is missing). A row fails when exactly one
+    side is NULL (missing group, or a statistic defined on one side only),
+    when |pct_diff| > ``threshold_pct``, or when pct_diff is undefined
+    with unequal values (source 0 -> nonzero). Both sides NULL agree
+    (e.g. stddev of single-row groups) -> success.
+    """
+    from .. import consts as _c
+
+    s = numeric_profile(
+        source, group_cols, value_col, percentiles, mode, accuracy
+    )
+    t = numeric_profile(
+        target, group_cols, value_col, percentiles, mode, accuracy
+    )
+    metrics = ["n", "vmin", "vmax", "avg", "std"] + [
+        "p_" + str(p).replace("0.", "").ljust(2, "0") for p in percentiles
+    ]
+    sm = s.select(
+        *group_cols,
+        *[F.col(m).cast("double").alias(f"s_{m}") for m in metrics],
+    )
+    tm = t.select(
+        *group_cols,
+        *[F.col(m).cast("double").alias(f"t_{m}") for m in metrics],
+    )
+    j = sm.join(tm, group_cols, "full_outer")
+    melted = j.select(
+        *group_cols,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("metric"),
+                    F.col(f"s_{m}").alias("source_value"),
+                    F.col(f"t_{m}").alias("target_value"),
+                )
+                for m in metrics
+            ])
+        ).alias("e"),
+    ).select(*group_cols, "e.metric", "e.source_value", "e.target_value")
+    pct = F.round(
+        (F.col("target_value") - F.col("source_value"))
+        / F.nullif(F.col("source_value"), F.lit(0.0)) * 100.0,
+        6,
+    )
+    s_null = F.col("source_value").isNull()
+    t_null = F.col("target_value").isNull()
+    fail = (
+        (s_null & ~t_null)
+        | (~s_null & t_null)
+        | F.coalesce(F.abs(pct) > F.lit(threshold_pct), F.lit(False))
+        | (
+            ~s_null & ~t_null & pct.isNull()
+            & (F.col("source_value") != F.col("target_value"))
+        )
+    )
+    return melted.select(
+        *group_cols,
+        "metric",
+        "source_value",
+        "target_value",
+        pct.alias("pct_diff"),
+        F.when(fail, F.lit(_c.VALIDATION_STATUS_FAIL))
+        .otherwise(F.lit(_c.VALIDATION_STATUS_SUCCESS))
+        .alias("validation_status"),
+    )

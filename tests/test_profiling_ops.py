@@ -471,3 +471,75 @@ def test_normalized_dedup_catches_reformatted_copies(spark):
     norm = normalize_text(df, "id", "text")
     drops = exact_dedup(norm, "norm_text", ["id"]).collect()
     assert [r["id"] for r in drops] == [2]  # keeper = smallest id
+
+
+# ---------------------------------------------------------------------------
+# profile_compare (operators/aggregates.py)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_compare_closed_form(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        profile_compare,
+    )
+
+    src = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], "g string, v double"
+    )
+    tgt = spark.createDataFrame(
+        [("a", 10.0), ("a", 22.0), ("b", 5.0)], "g string, v double"
+    )
+    out = {
+        (r["g"], r["metric"]): r
+        for r in profile_compare(
+            src, tgt, ["g"], "v", percentiles=(0.5,), threshold_pct=5.0
+        ).collect()
+    }
+    # group a: avg 15 -> 16, +6.666667% > 5% -> fail; n unchanged -> success
+    a_avg = out[("a", "avg")]
+    assert a_avg["source_value"] == 15.0 and a_avg["target_value"] == 16.0
+    assert abs(a_avg["pct_diff"] - 6.666667) < 1e-6
+    assert a_avg["validation_status"] == "fail"
+    assert out[("a", "n")]["validation_status"] == "success"
+    # group b identical everywhere
+    assert all(
+        v["validation_status"] == "success"
+        for (g, _), v in out.items() if g == "b"
+    )
+    # vmax a: 20 -> 22 = +10% fail
+    assert out[("a", "vmax")]["validation_status"] == "fail"
+
+
+def test_profile_compare_missing_group_fails(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        profile_compare,
+    )
+
+    src = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("b", 4.0)],
+                                "g string, v double")
+    tgt = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    out = profile_compare(
+        src, tgt, ["g"], "v", percentiles=(0.5,)
+    ).collect()
+    b_rows = [r for r in out if r["g"] == "b"]
+    assert b_rows and all(
+        r["validation_status"] == "fail" and r["target_value"] is None
+        for r in b_rows
+    )
+
+
+def test_profile_compare_approx_same_schema(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        profile_compare,
+    )
+
+    src = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "g string, v double"
+    )
+    exact = profile_compare(src, src, ["g"], "v")
+    approx = profile_compare(src, src, ["g"], "v", mode="approx")
+    assert exact.columns == approx.columns
+    # identical sides -> all success in both modes
+    assert all(
+        r["validation_status"] == "success" for r in approx.collect()
+    )
