@@ -409,6 +409,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     prof.add_argument("--output", default=None,
                       help="parquet output dir (one subdir per section)")
+    prof.add_argument("--target-path", default=None,
+                      help="compare mode: second table; emits a per-"
+                      "(column, metric) profile-diff verdict section and "
+                      "exits 1 on any fail (operators/aggregates.py "
+                      "profile_compare)")
+    prof.add_argument("--target-table", default=None)
+    prof.add_argument("--threshold-pct", type=float, default=0.0,
+                      help="compare mode: max |percent difference| per "
+                      "metric before a row fails")
 
     # snapshot-diff: incremental validation between two versions of the
     # same table (operators/snapshot.py; the Iceberg snapshot-to-snapshot
@@ -1230,15 +1239,51 @@ def _run_profile(args: argparse.Namespace) -> int:
         for other in profs[1:]:
             out = out.unionByName(other)
         sections["numeric"] = out
+    rc = 0
+    tgt_path = getattr(args, "target_path", None)
+    tgt_table = getattr(args, "target_table", None)
+    if (tgt_path or tgt_table) and num_cols:
+        # compare mode: melt every numeric column to one (column, v) long
+        # frame per side (map-only), then ONE profile_compare pass — one
+        # profile aggregate per side covers all columns
+        from .operators.aggregates import profile_compare
+
+        tgt = _load_side(spark, tgt_path, tgt_table)
+
+        def _melt(frame):
+            return frame.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("v"),
+                        )
+                        for c in num_cols
+                    ])
+                ).alias("e")
+            ).select("e.column", "e.v")
+
+        cmp_frame = profile_compare(
+            _melt(df), _melt(tgt), ["column"], "v",
+            threshold_pct=args.threshold_pct, mode=mode,
+        )
+        cmp_frame = cmp_frame.persist()
+        sections["compare"] = cmp_frame
+        if cmp_frame.filter(
+            F.col("validation_status") == "fail"
+        ).limit(1).count():
+            rc = 1
     for title, frame in sections.items():
         _show(title, frame)
         if args.output:
             frame.write.mode("overwrite").parquet(
                 os.path.join(args.output, title)
             )
+    if (tgt_path or tgt_table) and num_cols:
+        sections["compare"].unpersist()
     if not preexisting:
         spark.stop()
-    return 0
+    return rc
 
 
 def _rules_from_list(raw) -> list:

@@ -468,3 +468,65 @@ def test_cli_snapshot_diff_matches_operator(spark, tmp_path, capsys):
     ])
     capsys.readouterr()
     assert rc == 0
+
+
+def test_cli_profile_compare_mode(spark, tmp_path, capsys):
+    """`profile --target-path` emits a per-(column, metric) diff-verdict
+    section identical to the profile_compare operator and exits 1 on any
+    failing metric, 0 when the shapes agree within threshold."""
+    from pyspark.sql import functions as F
+
+    from professional_services_data_validator_spark.cli import main
+    from professional_services_data_validator_spark.operators.aggregates import (
+        profile_compare,
+    )
+
+    src = spark.createDataFrame(
+        [(i, float(i % 10), float(i % 5)) for i in range(100)],
+        "id int, a double, b double",
+    )
+    tgt = src.withColumn("a", F.col("a") * 2)  # shape shift in column a
+    sp, tp = str(tmp_path / "src"), str(tmp_path / "tgt")
+    src.write.parquet(sp)
+    tgt.write.parquet(tp)
+    outd = str(tmp_path / "prof")
+
+    rc = main([
+        "profile", "--source-path", sp, "--target-path", tp,
+        "--numeric-columns", "a,b", "--columns", "id",
+        "--threshold-pct", "1.0", "--output", outd,
+    ])
+    capsys.readouterr()
+    assert rc == 1  # column a drifted
+
+    got = {
+        (r["column"], r["metric"]): (r["pct_diff"], r["validation_status"])
+        for r in spark.read.parquet(outd + "/compare").collect()
+    }
+
+    def _melt(frame):
+        return frame.select(
+            F.explode(F.array(*[
+                F.struct(F.lit(c).alias("column"),
+                         F.col(c).cast("double").alias("v"))
+                for c in ("a", "b")
+            ])).alias("e")
+        ).select("e.column", "e.v")
+
+    want = {
+        (r["column"], r["metric"]): (r["pct_diff"], r["validation_status"])
+        for r in profile_compare(
+            _melt(src), _melt(tgt), ["column"], "v", threshold_pct=1.0
+        ).collect()
+    }
+    assert got == want
+    assert all(s == "success" for (c, _), (_, s) in got.items() if c == "b")
+    assert any(s == "fail" for (c, _), (_, s) in got.items() if c == "a")
+
+    # identical tables: clean exit
+    rc = main([
+        "profile", "--source-path", sp, "--target-path", sp,
+        "--numeric-columns", "a,b", "--columns", "id",
+    ])
+    capsys.readouterr()
+    assert rc == 0
