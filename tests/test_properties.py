@@ -321,3 +321,42 @@ def test_snapshot_diff_statuses_partition_pk_universe(spark, pair):
         else:
             want[k] = "changed"
     assert got == want
+
+
+# --- group_exact_dedup: keep-rank matches an independent model --------------
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=4),
+        min_size=1, max_size=10,
+    )
+)
+def test_group_exact_dedup_matches_model(spark, convs):
+    """For ANY set of conversations (key -> ordered texts): the drop list
+    is every key whose ordered transcript equals an earlier key's, with
+    keep_rank = its 1-based position among equal transcripts."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        group_exact_dedup,
+    )
+
+    rows = [
+        (k, i, t) for k, texts in convs.items()
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "conv string, idx int, text string")
+    got = {
+        r["conv"]: r["keep_rank"]
+        for r in group_exact_dedup(df, ["conv"], "idx", "text").collect()
+    }
+    by_transcript = {}
+    for k in sorted(convs):
+        by_transcript.setdefault(tuple(convs[k]), []).append(k)
+    want = {
+        k: rank + 1
+        for keys in by_transcript.values()
+        for rank, k in enumerate(keys)
+        if rank > 0
+    }
+    assert got == want
