@@ -63,6 +63,10 @@ TRAINING_BENCH = [
     # kept out of HEADLINE to preserve round-over-round continuity)
     "snapshot_diff_by_day",
     "conv_rollup_mismatches",
+    "conv_dedup_exact",
+    "profile_compare_by_role",
+    "split_balance",
+    "embedding_drift",
 ]
 
 
