@@ -447,6 +447,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parquet dir for the per-partition rollup")
     sd.add_argument("--max-print", type=int, default=50,
                     help="summary rows printed to stdout")
+    sd.add_argument("--lineage-dir", default=None,
+                    help="with --invalidate: lineage table to supersede")
+    sd.add_argument("--invalidate", action="store_true",
+                    help="append 'invalidated' lineage rows for every "
+                    "revalidate partition, superseding stale 'success' "
+                    "verdicts across ALL configs/stages — the next "
+                    "--resume run then re-validates exactly the changed "
+                    "partitions")
     return top
 
 
@@ -1463,6 +1471,19 @@ def _run_snapshot_diff(args: argparse.Namespace) -> int:
             counts.write.mode("overwrite").parquet(args.summary_output)
         if args.rows_output:
             changed.write.mode("overwrite").parquet(args.rows_output)
+        if args.invalidate:
+            if not args.lineage_dir:
+                raise SystemExit("--invalidate needs --lineage-dir")
+            import uuid
+
+            from .lineage import LineageStore
+
+            store = LineageStore(spark, args.lineage_dir)
+            n_inv = store.invalidate_partitions(
+                counts.filter(F.col("revalidate")).select("partition_id"),
+                run_id=str(uuid.uuid4()),
+            )
+            print(f"invalidated lineage rows: {n_inv}")
         n_changed = changed.count()
         print(f"\nchanged rows: {n_changed}")
         changed.unpersist()

@@ -126,6 +126,57 @@ class LineageStore:
             "partition_id"
         )
 
+    def invalidate_partitions(
+        self,
+        partition_ids: DataFrame,
+        run_id: str,
+        reason: str = "snapshot-diff",
+    ) -> int:
+        """Supersede stale 'success' verdicts for the given partitions —
+        the incremental-validation hook: after a snapshot-diff flags
+        partitions as changed, every (config, stage) whose LATEST verdict
+        for such a partition is success gets an appended 'invalidated'
+        row, so ``passed_partitions`` (latest-wins) stops skipping it and
+        the next ``--resume`` run re-validates exactly the changed
+        partitions. Append-only (no rewrites — the Iceberg-friendly
+        shape); config-agnostic by design: the DATA changed, so every
+        validation's prior success on that partition is stale.
+
+        ``partition_ids``: frame with a ``partition_id`` column (cast to
+        string here). Returns the number of superseding rows written.
+        """
+        from pyspark.sql import Window
+
+        ids = partition_ids.select(
+            F.col("partition_id").cast("string").alias("partition_id")
+        ).distinct()
+        lin = self.read()
+        w = Window.partitionBy(
+            "run_config_hash", "stage", "partition_id"
+        ).orderBy(F.col("ts").desc())
+        latest_success = (
+            lin.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("verdict") == "success"))
+        )
+        hits = latest_success.join(
+            F.broadcast(ids), "partition_id", "inner"
+        ).select(
+            "run_config_hash",
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            "stage",
+            F.to_json(
+                F.struct(F.lit(reason).alias("invalidated_by"))
+            ).alias("metrics"),
+            F.lit("invalidated").alias("verdict"),
+        )
+        hits = hits.persist()
+        n = hits.count()
+        if n:
+            self.append(hits)
+        hits.unpersist()
+        return n
+
     def pending_partitions(
         self, manifest: DataFrame, cfg_hash: str, stage: str
     ) -> DataFrame:

@@ -165,3 +165,91 @@ def test_empty_store_reads_empty(spark):
         store = LineageStore(spark, d + "/nothing")
         assert store.read().count() == 0
         assert store.passed_partitions("x", "y").count() == 0
+
+
+def test_invalidate_partitions_supersedes_success(spark, tmp_path):
+    """invalidate_partitions appends 'invalidated' rows that win the
+    latest-verdict race: passed_partitions stops skipping the flagged
+    partitions for EVERY (config, stage), untouched partitions stay
+    passed, and already-failed partitions get no extra row."""
+    from pyspark.sql import functions as F
+
+    from professional_services_data_validator_spark.lineage import (
+        LineageStore,
+    )
+
+    store = LineageStore(spark, str(tmp_path / "lin"))
+    verdicts = spark.createDataFrame(
+        [("p1", "success"), ("p2", "success"), ("p3", "fail")],
+        "partition_id string, validation_status string",
+    )
+    store.append_verdicts(verdicts, "cfgA", "run1", "Row")
+    store.append_verdicts(verdicts, "cfgB", "run1", "Column")
+
+    ids = spark.createDataFrame([("p2",), ("p3",)], "partition_id string")
+    n = store.invalidate_partitions(ids, run_id="inv1")
+    # p2 superseded under both configs; p3 was already failed (no row)
+    assert n == 2
+
+    passed_a = {
+        r["partition_id"]
+        for r in store.passed_partitions("cfgA", "Row").collect()
+    }
+    passed_b = {
+        r["partition_id"]
+        for r in store.passed_partitions("cfgB", "Column").collect()
+    }
+    assert passed_a == {"p1"} and passed_b == {"p1"}
+
+    # a later re-validation success takes over again
+    revalidated = spark.createDataFrame(
+        [("p2", "success")], "partition_id string, validation_status string"
+    )
+    store.append_verdicts(revalidated, "cfgA", "run2", "Row")
+    passed_a2 = {
+        r["partition_id"]
+        for r in store.passed_partitions("cfgA", "Row").collect()
+    }
+    assert passed_a2 == {"p1", "p2"}
+
+
+def test_cli_snapshot_diff_invalidate(spark, tmp_path, capsys):
+    """snapshot-diff --invalidate supersedes lineage success rows for
+    exactly the partitions the rollup flags."""
+    from pyspark.sql import functions as F
+
+    from professional_services_data_validator_spark.cli import main
+    from professional_services_data_validator_spark.lineage import (
+        LineageStore,
+    )
+
+    lin_dir = str(tmp_path / "lin")
+    store = LineageStore(spark, lin_dir)
+    verdicts = spark.createDataFrame(
+        [("x", "success"), ("y", "success")],
+        "partition_id string, validation_status string",
+    )
+    store.append_verdicts(verdicts, "cfg", "run0", "Row")
+
+    old = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 2)], "id int, part string, val int"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 99)], "id int, part string, val int"
+    )
+    od, nd = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(od)
+    new.write.parquet(nd)
+
+    rc = main([
+        "snapshot-diff", "--old-path", od, "--new-path", nd,
+        "--primary-keys", "id", "--partition-by", "part",
+        "--lineage-dir", lin_dir, "--invalidate",
+    ])
+    capsys.readouterr()
+    assert rc == 1
+    passed = {
+        r["partition_id"]
+        for r in store.passed_partitions("cfg", "Row").collect()
+    }
+    assert passed == {"x"}  # only the changed partition y was superseded
