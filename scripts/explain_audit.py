@@ -314,6 +314,15 @@ NOTES = {
         "(two-level aggregate); exact_keys=False swaps it for one "
         "HyperLogLog++ pass when even the key stream is huge."
     ),
+    "profile_compare_by_role": (
+        "One single-pass profile aggregate per side (count/min/max/avg/"
+        "std/percentiles in ONE groupBy; approx mode = mergeable t-digest "
+        "sketches), a full-outer join over O(groups) profile rows, then "
+        "the combiner's explode melt over |metrics| entries — every "
+        "exchange after the scans carries O(groups) rows. The exact "
+        "percentile path holds per-group sorted buffers (oracle-able); "
+        "the 100-TB default is approx."
+    ),
     "embedding_drift": (
         "Centroid shift: posexplode is partially aggregated map-side, so "
         "the shuffle carries (dim x partitions) partial sums, never "
