@@ -77,6 +77,7 @@ def snapshot_diff(
     partition_col: Column | None = None,
     trim_strings: bool = True,
     case_insensitive: bool = False,
+    null_safe_pks: bool = False,
 ) -> DataFrame:
     """Full classified diff: one row per PK present in either snapshot.
 
@@ -88,6 +89,13 @@ def snapshot_diff(
     ``partition_col`` is evaluated against EACH side before the join
     (e.g. ``F.date_format("ts", "yyyy-MM-dd")``), so it may reference any
     input column even though only pks+hash travel through the shuffle.
+
+    ``null_safe_pks``: join PKs with ``<=>`` so NULL keys align instead
+    of reporting as added+removed. OFF by default: real PKs are non-null,
+    and the null-safe condition compiles to coalesce/isnull join keys
+    that defeat storage bucketing — with plain equality, two snapshots
+    bucketed+sorted on the PK diff with ZERO exchanges
+    (tests/test_bucketed_join.py).
     """
     o = _project(
         old, primary_keys, compare_columns, partition_col,
@@ -111,7 +119,8 @@ def snapshot_diff(
     )
     cond = None
     for pk in primary_keys:
-        c = F.col(f"__o_{pk}").eqNullSafe(F.col(f"__n_{pk}"))
+        lhs, rhs = F.col(f"__o_{pk}"), F.col(f"__n_{pk}")
+        c = lhs.eqNullSafe(rhs) if null_safe_pks else (lhs == rhs)
         cond = c if cond is None else cond & c
     j = o.join(n, cond, "full_outer")
     status = (

@@ -61,3 +61,42 @@ def test_bucketed_aggregation_avoids_exchange(spark, transcripts):
         assert agg.count() == transcripts.select("conv_id").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_agg")
+
+
+def test_bucketed_snapshot_diff_is_shuffle_free(spark, transcripts):
+    """The incremental-validation join inherits the same 100-TB strategy:
+    with both snapshot versions bucketed+sorted on the PK, snapshot_diff's
+    full-outer join plans with ZERO Exchange operators (Iceberg analog:
+    bucket partition transform on both snapshots)."""
+    from professional_services_data_validator_spark.operators.snapshot import (
+        snapshot_diff_rows,
+    )
+
+    src = transcripts.drop("event_id", "ts")
+    tgt = spark.table("transcripts_target").drop("event_id", "ts")
+    pks = ["conv_id", "turn_idx"]
+    try:
+        write_bucketed_table(src, "bkt_snap_old", pks, n_buckets=8)
+        write_bucketed_table(tgt, "bkt_snap_new", pks, n_buckets=8)
+        old, new = spark.table("bkt_snap_old"), spark.table("bkt_snap_new")
+
+        delta = snapshot_diff_rows(old, new, pks)
+        plan = delta._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (
+            "bucketed snapshot diff should be shuffle-free:\n" + plan[:2000]
+        )
+
+        # values match the unbucketed computation
+        expect = {
+            tuple(r)
+            for r in snapshot_diff_rows(src, tgt, pks)
+            .select(*pks, "diff_status").collect()
+        }
+        got = {
+            tuple(r)
+            for r in delta.select(*pks, "diff_status").collect()
+        }
+        assert got == expect and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_snap_old")
+        spark.sql("DROP TABLE IF EXISTS bkt_snap_new")

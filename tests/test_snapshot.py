@@ -104,13 +104,19 @@ def test_partition_of_removed_and_added_rows(spark):
 
 
 def test_null_safe_pk_join(spark):
-    """NULL PK values align null-safely instead of producing phantom
-    added+removed pairs."""
+    """Under null_safe_pks=True NULL keys align instead of producing
+    phantom added+removed pairs; the default (plain equality, the
+    bucketing-compatible condition) reports them as add+remove."""
     schema = "id int, part string, val int, txt string"
     old = spark.createDataFrame([(None, "a", 1, "x")], schema)
     new = spark.createDataFrame([(None, "a", 1, "x")], schema)
-    rows = snapshot_diff(old, new, ["id"]).collect()
+    rows = snapshot_diff(old, new, ["id"], null_safe_pks=True).collect()
     assert len(rows) == 1 and rows[0]["diff_status"] == "unchanged"
+    default = {
+        r["diff_status"]
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert default == {"added", "removed"}
 
 
 def test_plan_hash_before_exchange(spark):
