@@ -422,6 +422,37 @@ def q_snapshot_diff_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _build_snapshot_diff_by_day(spark, sf_dir).orderBy("partition_id")
 
 
+def _build_snapshot_delta_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forensic snapshot delta: each changed PK names WHICH columns
+    changed (detail=True adds one xxhash64 per compare column — 8 bytes
+    each — to the map-side projection; the join then folds the per-column
+    hash inequalities into a name list). Fixture expectations: mutated
+    rows -> 'text', tool-nulled -> 'tool', added tail -> NULL detail."""
+    from professional_services_data_validator_spark.operators import (
+        snapshot_diff_rows,
+    )
+
+    old, new = _snapshot_frames(spark, sf_dir)
+    d = snapshot_diff_rows(
+        old.drop("ts"), new.drop("ts"), ["conv_id", "turn_idx"],
+        compare_columns=["role", "text", "tool", "ts_us"],
+        detail=True,
+    )
+    return d.select(
+        "conv_id", "turn_idx", "diff_status",
+        F.array_join("changed_columns", ",").alias("changed_cols"),
+    )
+
+
+def q_snapshot_delta_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy only for the driver's deterministic oracle comparison
+    return _build_snapshot_delta_detail(spark, sf_dir).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 # the oracle classifies with IS NOT DISTINCT FROM tuple compares — value
 # equality and sha256-hash equality agree (the hash chain is injective per
 # column list up to collision), so statuses match the Spark side exactly.
@@ -446,6 +477,44 @@ diff AS (
 _SQL_SNAPSHOT_DELTA_ROWS = f"""{_CTES},
 {_SNAPSHOT_DIFF_CTE}
 SELECT conv_id, turn_idx, diff_status
+FROM diff WHERE diff_status <> 'unchanged' ORDER BY conv_id, turn_idx
+"""
+
+# per-column chain compare replicating build_row_hash's canonicalization
+# (cast -> ifnull DEFAULT_REPLACEMENT_STRING -> rtrim), so NULL-vs-value
+# flags exactly like the Spark side's per-column xxhash64 inequality
+_DETAIL_NEQ = (
+    "rtrim(coalesce(CAST(o.{c} AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))"
+    " <> "
+    "rtrim(coalesce(CAST(n.{c} AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))"
+)
+
+_SQL_SNAPSHOT_DELTA_DETAIL = f"""{_CTES},
+snap_new AS ({_SNAPSHOT_NEW_SQL}),
+o AS (SELECT conv_id, turn_idx, role, text, tool,
+             CAST(epoch_us(ts) AS VARCHAR) AS ts_us FROM transcripts),
+n AS (SELECT conv_id, turn_idx, role, text, tool,
+             CAST(epoch_us(ts) AS VARCHAR) AS ts_us FROM snap_new),
+diff AS (
+  SELECT coalesce(o.conv_id, n.conv_id) AS conv_id,
+    coalesce(o.turn_idx, n.turn_idx) AS turn_idx,
+    CASE WHEN o.conv_id IS NULL THEN 'added'
+         WHEN n.conv_id IS NULL THEN 'removed'
+         WHEN NOT ({_DETAIL_NEQ.format(c='role')})
+          AND NOT ({_DETAIL_NEQ.format(c='text')})
+          AND NOT ({_DETAIL_NEQ.format(c='tool')})
+          AND NOT ({_DETAIL_NEQ.format(c='ts_us')}) THEN 'unchanged'
+         ELSE 'changed' END AS diff_status,
+    concat_ws(',',
+      CASE WHEN {_DETAIL_NEQ.format(c='role')} THEN 'role' END,
+      CASE WHEN {_DETAIL_NEQ.format(c='text')} THEN 'text' END,
+      CASE WHEN {_DETAIL_NEQ.format(c='tool')} THEN 'tool' END,
+      CASE WHEN {_DETAIL_NEQ.format(c='ts_us')} THEN 'ts_us' END
+    ) AS cols
+  FROM o FULL OUTER JOIN n
+    ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx)
+SELECT conv_id, turn_idx, diff_status,
+  CASE WHEN diff_status = 'changed' THEN cols END AS changed_cols
 FROM diff WHERE diff_status <> 'unchanged' ORDER BY conv_id, turn_idx
 """
 
@@ -1115,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_hash_violations": q_row_violations,
         "partition_checksum_compare": q_partition_checksums,
         "snapshot_delta_rows": q_snapshot_delta_rows,
+        "snapshot_delta_detail": q_snapshot_delta_detail,
         "snapshot_diff_by_day": q_snapshot_diff_by_day,
         "conv_rollup_mismatches": q_conv_rollup_mismatches,
         "profile_compare_by_role": q_profile_compare,
@@ -1144,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "row_hash_violations": _SQL_ROW_VIOLATIONS,
         "partition_checksum_compare": _SQL_PARTITION_CHECKSUMS,
         "snapshot_delta_rows": _SQL_SNAPSHOT_DELTA_ROWS,
+        "snapshot_delta_detail": _SQL_SNAPSHOT_DELTA_DETAIL,
         "snapshot_diff_by_day": _SQL_SNAPSHOT_DIFF_BY_DAY,
         "conv_rollup_mismatches": _SQL_CONV_ROLLUP,
         "profile_compare_by_role": _SQL_PROFILE_COMPARE,
@@ -2865,6 +2936,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "row_hash_violations": _build_row_violations,
             "partition_checksum_compare": _build_partition_checksums,
             "snapshot_delta_rows": _build_snapshot_delta_rows,
+            "snapshot_delta_detail": _build_snapshot_delta_detail,
             "snapshot_diff_by_day": _build_snapshot_diff_by_day,
             "conv_rollup_mismatches": _build_conv_rollup,
             "uniqueness_violations": _build_uniqueness,

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..config import consts
 from ..functions.calculated import build_row_hash
 
 #: diff_status values, in output-severity order
@@ -50,10 +51,13 @@ def _project(
     partition_col: Column | None,
     trim_strings: bool,
     case_insensitive: bool,
-) -> DataFrame:
+    detail: bool = False,
+) -> tuple[DataFrame, list[str]]:
     """Map-side projection: pks [+ partition value] + 32-byte binary row
     hash over the compare columns (defaults to every non-PK column, in
-    table column order — the reference's hash '*' expansion order)."""
+    table column order — the reference's hash '*' expansion order).
+    ``detail`` adds one xxhash64 per compare column (8 bytes each through
+    the shuffle) so the join can name WHICH columns changed."""
     cols = (
         [c for c in df.columns if c not in primary_keys]
         if compare_columns is None
@@ -66,7 +70,16 @@ def _project(
     if partition_col is not None:
         proj.append(partition_col.alias("partition_id"))
     proj.append(F.col("hash__all"))
-    return hashed.select(*proj)
+    if detail:
+        for c in cols:
+            col = F.col(c).cast("string")
+            col = F.coalesce(col, F.lit(consts.DEFAULT_REPLACEMENT_STRING))
+            if trim_strings:
+                col = F.rtrim(col)
+            if case_insensitive:
+                col = F.upper(col)
+            proj.append(F.xxhash64(col).alias(f"__colh_{c}"))
+    return hashed.select(*proj), cols
 
 
 def snapshot_diff(
@@ -78,6 +91,7 @@ def snapshot_diff(
     trim_strings: bool = True,
     case_insensitive: bool = False,
     null_safe_pks: bool = False,
+    detail: bool = False,
 ) -> DataFrame:
     """Full classified diff: one row per PK present in either snapshot.
 
@@ -97,25 +111,28 @@ def snapshot_diff(
     bucketed+sorted on the PK diff with ZERO exchanges
     (tests/test_bucketed_join.py).
     """
-    o = _project(
+    o, cols = _project(
         old, primary_keys, compare_columns, partition_col,
-        trim_strings, case_insensitive,
+        trim_strings, case_insensitive, detail,
     )
-    n = _project(
+    n, _ = _project(
         new, primary_keys, compare_columns, partition_col,
-        trim_strings, case_insensitive,
+        trim_strings, case_insensitive, detail,
     )
+    det = cols if detail else []
     o = o.select(
         *[F.col(pk).alias(f"__o_{pk}") for pk in primary_keys],
         *([F.col("partition_id").alias("__o_part")]
           if partition_col is not None else []),
         F.col("hash__all").alias("__o_hash"),
+        *[F.col(f"__colh_{c}").alias(f"__oc_{c}") for c in det],
     )
     n = n.select(
         *[F.col(pk).alias(f"__n_{pk}") for pk in primary_keys],
         *([F.col("partition_id").alias("__n_part")]
           if partition_col is not None else []),
         F.col("hash__all").alias("__n_hash"),
+        *[F.col(f"__colh_{c}").alias(f"__nc_{c}") for c in det],
     )
     cond = None
     for pk in primary_keys:
@@ -140,6 +157,19 @@ def snapshot_diff(
             )
         )
     out.append(status.alias("diff_status"))
+    if detail:
+        # name the differing columns; NULL for added/removed/unchanged
+        diffs = F.array_compact(
+            F.array(*[
+                F.when(
+                    F.col(f"__oc_{c}") != F.col(f"__nc_{c}"), F.lit(c)
+                )
+                for c in det
+            ])
+        )
+        out.append(
+            F.when(status == CHANGED, diffs).alias("changed_columns")
+        )
     return j.select(*out)
 
 

@@ -173,3 +173,43 @@ def test_revalidate_rollup_gates_row_drilldown(spark):
         ).collect()
     }
     assert drill == full_delta == {(3, "changed"), (6, "added")}
+
+
+def test_detail_names_changed_columns(spark):
+    """detail=True names exactly the changed columns per row, NULL for
+    added/removed, and NULL-vs-value flags under the ifnull chain."""
+    old, new = _versions(spark)
+    got = {
+        r["id"]: (r["diff_status"], r["changed_columns"])
+        for r in snapshot_diff(old, new, ["id"], detail=True).collect()
+    }
+    assert got[2] == ("changed", ["val"])
+    assert got[3] == ("removed", None)
+    assert got[4] == ("added", None)
+    assert got[1][1] is None and got[5][1] is None  # unchanged
+
+    # NULL -> value transition names the column
+    n2 = new.withColumn(
+        "txt",
+        F.when(F.col("id") == 5, F.lit("now-set")).otherwise(F.col("txt")),
+    )
+    got5 = {
+        r["id"]: r["changed_columns"]
+        for r in snapshot_diff(old, n2, ["id"], detail=True).collect()
+    }
+    assert got5[5] == ["txt"]
+
+
+def test_detail_multi_column_change_order(spark):
+    """Multiple changed columns list in compare-column order."""
+    old, new = _versions(spark)
+    n2 = new.withColumn("part", F.lit("zz"))
+    got = {
+        r["id"]: r["changed_columns"]
+        for r in snapshot_diff(
+            old, n2, ["id"], compare_columns=["part", "val", "txt"],
+            detail=True,
+        ).collect()
+    }
+    assert got[2] == ["part", "val"]
+    assert got[1] == ["part"]
