@@ -443,6 +443,10 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--rows-output", default=None,
                     help="parquet dir for the row-level delta "
                     "(added/removed/changed PKs)")
+    sd.add_argument("--detail", action="store_true",
+                    help="add changed_columns to the row-level delta "
+                    "(one xxhash64 per compare column through the "
+                    "shuffle)")
     sd.add_argument("--summary-output", default=None,
                     help="parquet dir for the per-partition rollup")
     sd.add_argument("--max-print", type=int, default=50,
@@ -1426,6 +1430,7 @@ def _run_snapshot_diff(args: argparse.Namespace) -> int:
             old, new, pks,
             compare_columns=_split_cols(args.compare_columns),
             partition_col=part,
+            detail=bool(getattr(args, "detail", False)),
         )
         # the unchanged majority is dropped BEFORE persist: the cached
         # frame is O(changes) + one count row per partition

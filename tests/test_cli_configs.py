@@ -530,3 +530,28 @@ def test_cli_profile_compare_mode(spark, tmp_path, capsys):
     ])
     capsys.readouterr()
     assert rc == 0
+
+
+def test_cli_snapshot_diff_detail_flag(spark, tmp_path, capsys):
+    """--detail adds changed_columns to the row-level delta parquet."""
+    from professional_services_data_validator_spark.cli import main
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "id int, part string, val int"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "zz", 20)], "id int, part string, val int"
+    )
+    od, nd = str(tmp_path / "o"), str(tmp_path / "n")
+    old.write.parquet(od)
+    new.write.parquet(nd)
+    rows_out = str(tmp_path / "delta")
+    rc = main([
+        "snapshot-diff", "--old-path", od, "--new-path", nd,
+        "--primary-keys", "id", "--detail", "--rows-output", rows_out,
+    ])
+    capsys.readouterr()
+    assert rc == 1
+    rows = spark.read.parquet(rows_out).collect()
+    assert [(r["id"], r["diff_status"], r["changed_columns"])
+            for r in rows] == [(2, "changed", ["part"])]
