@@ -3886,3 +3886,60 @@ FROM n ORDER BY id
 
 _TRAINING_QUERIES["normalize_text"] = q_normalize_text
 _TRAINING_ORACLES["normalize_text"] = _SQL_NORMALIZE_TEXT
+
+
+def q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental ingestion: documents whose content hash does
+    not occur in the already-ingested half of the corpus (seen = even
+    doc_ids). Exact despite the bloom: misses skip the join entirely, hits
+    are verified by an anti-join on the candidates only
+    (operators/bloom.py seen_filter). n_bits deliberately small here so the
+    false-positive path is exercised, not just the trivial one."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.bloom import (
+        seen_filter,
+    )
+
+    docs = spark.table("documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    out = seen_filter(docs, seen, F.md5("text"), n_bits=1 << 12, n_hashes=4)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+_SQL_INCREMENTAL_NEW_DOCS = """
+SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents s
+  WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(d.text))
+ORDER BY d.doc_id
+"""
+
+
+_TRAINING_QUERIES["incremental_new_docs"] = q_incremental_new_docs
+_TRAINING_ORACLES["incremental_new_docs"] = _SQL_INCREMENTAL_NEW_DOCS
+
+
+def q_referential_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """referential_orphans re-planned for a dimension too large to
+    broadcast as data: distinct fact keys anti-join dim keys (keys-only
+    shuffle), orphan keys broadcast back as a left-semi join — the fact is
+    never exchanged (operators/referential.py
+    referential_violations_large). Same result set as referential_orphans;
+    the contract entry pins the large-dim plan to the same oracle."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import (
+        referential_violations_large,
+    )
+
+    orphans = referential_violations_large(
+        spark.table("transcripts"), spark.table("dim_conversations"), "conv_id"
+    )
+    return (
+        orphans.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("orphan_rows"))
+        .orderBy("conv_id")
+    )
+
+
+_TRAINING_QUERIES["referential_orphans_large"] = q_referential_large
+_TRAINING_ORACLES["referential_orphans_large"] = _SQL_REFERENTIAL

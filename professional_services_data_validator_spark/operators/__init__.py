@@ -1,7 +1,8 @@
 from .aggregates import column_stats, build_aggregate_specs, agg_column
 from .row_compare import row_compare, row_violations, row_compare_verdicts
 from .uniqueness import uniqueness_violations, uniqueness_verdict
-from .referential import referential_violations
+from .referential import referential_violations, referential_violations_large
+from .bloom import bloom_bitset, bloom_might_contain, seen_filter, with_bloom_flag
 from .partitioning import (
     assign_partition_id,
     partition_boundaries,
@@ -33,6 +34,11 @@ __all__ = [
     "uniqueness_violations",
     "uniqueness_verdict",
     "referential_violations",
+    "referential_violations_large",
+    "bloom_bitset",
+    "bloom_might_contain",
+    "seen_filter",
+    "with_bloom_flag",
     "partition_boundaries",
     "partition_manifest",
     "partition_where_clauses",

@@ -42,6 +42,44 @@ def referential_violations(
     return fact.join(dim_proj, fact_keys, "left_anti")
 
 
+def referential_violations_large(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key,
+    dim_key: str | None = None,
+) -> DataFrame:
+    """Rows of ``fact`` with no match in ``dim`` when the dimension is TOO
+    LARGE to broadcast as data (the 10^12-fact x 10^9-dim regime).
+
+    Same result as referential_violations; different physical strategy:
+
+    1. distinct fact keys — a hash aggregate whose partial (map-side) dedup
+       collapses the 10^12 rows to the key cardinality before any shuffle;
+    2. keys anti-join dim keys — the only real shuffle, and it moves KEYS,
+       never fact rows;
+    3. orphan keys broadcast back onto the fact as a left-semi join — the
+       fact is scanned but never exchanged.
+
+    Correct because orphanhood is a property of the key alone. Broadcasting
+    orphan keys (step 3) assumes violations are rare — the normal case for
+    an RI check; if orphans can be a large fraction, fall back to a plain
+    shuffled anti-join of the fact.
+    """
+    fact_keys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    dim_keys = (
+        [dim_key] if isinstance(dim_key, str)
+        else list(dim_key) if dim_key else fact_keys
+    )
+    dim_proj = dim.select(
+        *[F.col(d).alias(f) for d, f in zip(dim_keys, fact_keys)]
+    ).dropDuplicates(fact_keys)
+    orphan_keys = (
+        fact.select(*fact_keys).dropDuplicates(fact_keys)
+        .join(dim_proj, fact_keys, "left_anti")
+    )
+    return fact.join(F.broadcast(orphan_keys), fact_keys, "left_semi")
+
+
 def referential_verdict(
     fact: DataFrame, dim: DataFrame, fact_key, dim_key=None, partition_col=None
 ) -> DataFrame:
