@@ -67,6 +67,8 @@ TRAINING_BENCH = [
     "profile_compare_by_role",
     "split_balance",
     "embedding_drift",
+    "incremental_new_docs",
+    "referential_orphans_large",
 ]
 
 

@@ -331,6 +331,29 @@ NOTES = {
         "quantiles, no extra pass), counts aggregate to O(bins) rows. "
         "Nothing O(rows) crosses an exchange or reaches the driver."
     ),
+    "incremental_new_docs": (
+        "Bloom seen-set ingestion filter: the bitset build is one "
+        "bit_or(shiftleft) hash aggregate over the seen keys — partial "
+        "bit_or map-side, the exchange carries at most n_bits/64 word rows "
+        "(CONSTANT in the seen-key count). The probe side crossJoins one "
+        "broadcast row (BroadcastNestedLoopJoin of a single row = a shipped "
+        "constant) and evaluates getbit exprs inside the scan stage; "
+        "bloom-miss rows reach the output with NO join, only bloom-hit "
+        "candidates (true matches + FP) anti-join the distinct seen keys. "
+        "At 100 TB of mostly-new ingest, the anti-join's left side is the "
+        "tiny candidate fraction — the raw stream never shuffles. Exact at "
+        "any n_bits (no false negatives; FPs removed by the verify join)."
+    ),
+    "referential_orphans_large": (
+        "RI when the dimension cannot broadcast as data: distinct fact keys "
+        "(map-side partial dedup collapses 10^12 rows to key cardinality "
+        "BEFORE the exchange) anti-join the dim keys — the only shuffle, "
+        "and it moves keys, never fact rows; orphan keys (rare by "
+        "definition of an RI check) broadcast back onto the fact as a "
+        "LeftSemi, so the fact side is scanned once and never exchanged. "
+        "Same oracle as referential_orphans: one semantic, two physical "
+        "strategies chosen by dim size."
+    ),
 }
 
 
