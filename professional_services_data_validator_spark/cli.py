@@ -353,6 +353,16 @@ def build_parser() -> argparse.ArgumentParser:
                      help="emit only the kept docs instead of all verdicts")
     cur.add_argument("--output", default=None,
                      help="parquet output dir (omit = print summary only)")
+    cur.add_argument("--seen-path", default=None,
+                     help="previously-ingested corpus parquet: docs whose "
+                     "content hash occurs there are dropped BEFORE curation "
+                     "(exact bloom seen_filter — operators/bloom.py)")
+    cur.add_argument("--seen-text-col", default=None,
+                     help="text column in --seen-path (default: --text-col)")
+    cur.add_argument("--bloom-bits", type=int, default=1 << 22,
+                     help="seen-set bloom bitset size (bits; sizing only "
+                     "affects the verify-join volume, never correctness)")
+    cur.add_argument("--bloom-hashes", type=int, default=5)
 
     # expect: single-table declarative expectations, all rules in ONE
     # aggregate pass (no reference analog — BASELINE validation-engine
@@ -1124,6 +1134,21 @@ def _run_curate(args: argparse.Namespace) -> int:
     spark = get_spark("psdv-curate")
     docs = spark.read.parquet(args.docs_path)
     idc, txt = args.id_col, args.text_col
+    n_seen_dropped = 0
+    if args.seen_path:
+        # incremental ingestion: drop docs already in the ingested corpus
+        # before paying for dedup/contamination/quality. Exact at any
+        # --bloom-bits (bloom misses bypass the join; hits are verified).
+        from .operators.bloom import seen_filter
+
+        seen = spark.read.parquet(args.seen_path)
+        stc = args.seen_text_col or txt
+        n_before = docs.count()
+        docs = seen_filter(
+            docs, seen, F.md5(F.col(txt)), seen_key=F.md5(F.col(stc)),
+            n_bits=args.bloom_bits, n_hashes=args.bloom_hashes,
+        ).persist()
+        n_seen_dropped = n_before - docs.count()
     verdicts = dedup_clusters(
         docs, idc, txt,
         k=args.dedup_shingle_k,
@@ -1181,13 +1206,19 @@ def _run_curate(args: argparse.Namespace) -> int:
         lowq = verdicts.filter(
             F.col("quality_score") < args.quality_min
         ).count()
+        seen_note = (
+            f"; {n_seen_dropped} already-ingested docs skipped pre-curation"
+            if args.seen_path else ""
+        )
         print(
             f"curate: {total} docs -> keep {kept} "
             f"(drop: {dup} near-dup, {contam_n} contaminated, "
-            f"{lowq} below quality {args.quality_min})"
+            f"{lowq} below quality {args.quality_min}){seen_note}"
         )
     finally:
         verdicts.unpersist()
+        if args.seen_path:
+            docs.unpersist()
     return 0
 
 

@@ -555,3 +555,40 @@ def test_cli_snapshot_diff_detail_flag(spark, tmp_path, capsys):
     rows = spark.read.parquet(rows_out).collect()
     assert [(r["id"], r["diff_status"], r["changed_columns"])
             for r in rows] == [(2, "changed", ["part"])]
+
+
+def test_cli_curate_seen_path_incremental(spark, tmp_path, capsys):
+    """--seen-path (bloom seen_filter) must drop exactly the docs whose
+    content hash occurs in the ingested corpus BEFORE curation — verdict
+    ids equal the hash anti-join, and the summary reports the skip count.
+    Tiny --bloom-bits forces the false-positive verify path."""
+    from professional_services_data_validator_spark.cli import main
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    new_p, seen_p = str(tmp_path / "new"), str(tmp_path / "seen")
+    docs.write.parquet(new_p)
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(seen_p)
+    out_p = str(tmp_path / "verdicts")
+    rc = main([
+        "curate", "--docs-path", new_p,
+        "--seen-path", seen_p, "--bloom-bits", "4096", "--bloom-hashes", "4",
+        "--dedup-shingle-k", "2", "--minhash-num", "8",
+        "--minhash-bands", "4", "--dedup-threshold", "0.5",
+        "--output", out_p,
+    ])
+    assert rc == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out_p).collect()}
+    keys = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("__k")).dropDuplicates()
+    )
+    want = {
+        r["doc_id"]
+        for r in docs.join(
+            keys, F.md5(docs["text"]) == F.col("__k"), "left_anti"
+        ).collect()
+    }
+    assert got == want and 0 < len(want) < docs.count()
+    out = capsys.readouterr().out
+    assert f"{docs.count() - len(want)} already-ingested docs skipped" in out
