@@ -398,3 +398,54 @@ def stream_expectations(
         F.col("w.start").alias("window_start"),
         F.explode(F.array(*structs)).alias("r"),
     ).select("window_start", "r.*")
+
+
+def stream_seen_filter(
+    stream: DataFrame,
+    seen: DataFrame,
+    new_key,
+    seen_key=None,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Streaming twin of operators.bloom.seen_filter: EXACT "not yet in the
+    ingested corpus" gate on an arriving document/turn stream.
+
+    The bitset is built ONCE from the static ``seen`` side (a batch
+    bit_or aggregate, operators/bloom.py) and enters every micro-batch as a
+    broadcast one-row crossJoin — a shipped constant. Bloom-miss rows pass
+    with NO join at all; bloom-hit candidates (true matches + false
+    positives) are removed/verified by a STATELESS stream-static left-anti
+    join against the distinct seen keys. No watermark, no state store —
+    state never grows with the stream. Exact at any n_bits (no false
+    negatives; FPs verified away). Dedup WITHIN the stream is
+    ``stream_exact_dedup``'s job (stateful); this operator gates against
+    the already-ingested corpus.
+    """
+    from ..operators.bloom import (
+        bloom_bitset,
+        bloom_might_contain,
+        _WORDS,
+    )
+
+    nk = F.col(new_key) if isinstance(new_key, str) else new_key
+    sk = (
+        (F.col(seen_key) if isinstance(seen_key, str) else seen_key)
+        if seen_key is not None
+        else nk
+    )
+    bitset = bloom_bitset(seen, sk, n_bits, n_hashes)
+    flagged = (
+        stream.crossJoin(F.broadcast(bitset))
+        .withColumn(
+            "__bloom_hit", bloom_might_contain(nk, n_bits, n_hashes)
+        )
+        .drop(_WORDS)
+    )
+    definite_new = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    candidates = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    seen_keys = seen.select(sk.alias("__seen_key")).dropDuplicates()
+    verified_new = candidates.join(
+        F.broadcast(seen_keys), nk == F.col("__seen_key"), "left_anti"
+    )
+    return definite_new.unionByName(verified_new)

@@ -308,3 +308,39 @@ def test_stream_expectations_matches_batch(spark, transcripts):
             assert abs(stream_day[name] - batch[name]) < 1e-9, name
         # statuses present and schema matches batch + window_start
         assert {r["validation_status"] for r in got} <= {"success", "fail"}
+
+
+def test_stream_seen_filter_exact_and_stateless(spark, sf_dir):
+    """Streaming bloom gate == batch anti-join on the same data, at a
+    deliberately tiny bitset (FP-verify path exercised); the query is
+    stateless (no watermark/state store needed for availableNow to drain)."""
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_seen_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/docs"
+        docs.write.parquet(path)
+        stream = spark.readStream.schema(docs.schema).parquet(path)
+        out = stream_seen_filter(
+            stream, seen, F.md5("text"), n_bits=4096, n_hashes=4
+        ).select("doc_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("seen_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.table("seen_out").collect())
+    keys = seen.select(F.md5("text").alias("__k")).dropDuplicates()
+    want = sorted(
+        r.doc_id
+        for r in docs.join(
+            keys, F.md5(docs["text"]) == F.col("__k"), "left_anti"
+        ).collect()
+    )
+    assert got == want and 0 < len(want) < docs.count()
