@@ -3943,3 +3943,109 @@ def q_referential_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["referential_orphans_large"] = q_referential_large
 _TRAINING_ORACLES["referential_orphans_large"] = _SQL_REFERENTIAL
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy / uniqueness profile over the transcript
+    categorical columns (operators/aggregates.py column_entropy): one melt
+    + two-level aggregate, O(distinct values) across the exchange."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        column_entropy,
+    )
+
+    return column_entropy(spark.table("transcripts"), ["role", "tool"])
+
+
+_SQL_COLUMN_ENTROPY = f"""{_CTES},
+m AS (
+  SELECT 'role' AS "column", role AS value FROM transcripts
+  WHERE role IS NOT NULL
+  UNION ALL
+  SELECT 'tool', tool FROM transcripts WHERE tool IS NOT NULL),
+c AS (SELECT "column", value, CAST(count(*) AS DOUBLE) AS n
+      FROM m GROUP BY 1, 2)
+SELECT "column",
+  CAST(SUM(n) AS BIGINT) AS n_nonnull,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+  ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6) AS entropy,
+  ROUND(CASE WHEN COUNT(*) > 1
+        THEN (ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) / ln(COUNT(*))
+        ELSE 0 END, 6) AS norm_entropy,
+  ROUND(COUNT(*) / SUM(n), 6) AS uniqueness_ratio
+FROM c GROUP BY "column" ORDER BY "column"
+"""
+
+
+_TRAINING_QUERIES["column_entropy_profile"] = q_column_entropy
+_TRAINING_ORACLES["column_entropy_profile"] = _SQL_COLUMN_ENTROPY
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information lang<->source on documents
+    (operators/aggregates.py mutual_information): one O(rows) joint count;
+    marginals/entropies re-aggregated FROM the joint."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    return mutual_information(spark.table("documents"), "lang", "source")
+
+
+_SQL_MUTUAL_INFO = """
+WITH j AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS DOUBLE) AS nab
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2),
+ma AS (SELECT a, SUM(nab) AS na FROM j GROUP BY a),
+mb AS (SELECT b, SUM(nab) AS nb FROM j GROUP BY b),
+t AS (SELECT SUM(nab) AS n FROM j),
+mi AS (
+  SELECT SUM((nab / n) * ln(nab * n / (na * nb))) AS mi, ANY_VALUE(n) AS n
+  FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t),
+ha AS (SELECT ln(SUM(na)) - SUM(na * ln(na)) / SUM(na) AS ha FROM ma),
+hb AS (SELECT ln(SUM(nb)) - SUM(nb * ln(nb)) / SUM(nb) AS hb FROM mb)
+SELECT 'lang' AS col_a, 'source' AS col_b, CAST(mi.n AS BIGINT) AS n,
+  ROUND(mi.mi, 6) AS mi,
+  ROUND(CASE WHEN LEAST(ha, hb) > 1e-12 THEN mi.mi / LEAST(ha, hb)
+        ELSE 0 END, 6) AS nmi
+FROM mi, ha, hb
+"""
+
+
+_TRAINING_QUERIES["mutual_info_lang_source"] = q_mutual_info
+_TRAINING_ORACLES["mutual_info_lang_source"] = _SQL_MUTUAL_INFO
+
+
+def q_conv_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-key skew diagnostics on conv_id
+    (operators/partitioning.py key_skew_profile): the check that decides
+    whether the PK join needs salting/AQE before a 10^12-row run."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.partitioning import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(spark.table("transcripts"), "conv_id")
+
+
+_SQL_CONV_SKEW = f"""{_CTES},
+s AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+      FROM transcripts GROUP BY conv_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  MAX(n) AS max_size,
+  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_share,
+  ROUND(AVG(n), 6) AS avg_size,
+  quantile_cont(n, 0.5) AS p50_size,
+  quantile_cont(n, 0.9) AS p90_size,
+  quantile_cont(n, 0.99) AS p99_size,
+  ROUND(CAST(MAX(n) AS DOUBLE) / quantile_cont(n, 0.5), 6) AS skew_ratio,
+  (SELECT conv_id FROM s ORDER BY n DESC, conv_id DESC LIMIT 1) AS top_key
+FROM s
+"""
+
+
+_TRAINING_QUERIES["conv_skew_profile"] = q_conv_skew
+_TRAINING_ORACLES["conv_skew_profile"] = _SQL_CONV_SKEW

@@ -69,6 +69,9 @@ TRAINING_BENCH = [
     "embedding_drift",
     "incremental_new_docs",
     "referential_orphans_large",
+    "column_entropy_profile",
+    "mutual_info_lang_source",
+    "conv_skew_profile",
 ]
 
 

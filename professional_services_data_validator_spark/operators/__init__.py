@@ -1,10 +1,17 @@
-from .aggregates import column_stats, build_aggregate_specs, agg_column
+from .aggregates import (
+    agg_column,
+    build_aggregate_specs,
+    column_entropy,
+    column_stats,
+    mutual_information,
+)
 from .row_compare import row_compare, row_violations, row_compare_verdicts
 from .uniqueness import uniqueness_violations, uniqueness_verdict
 from .referential import referential_violations, referential_violations_large
 from .bloom import bloom_bitset, bloom_might_contain, seen_filter, with_bloom_flag
 from .partitioning import (
     assign_partition_id,
+    key_skew_profile,
     partition_boundaries,
     partition_manifest,
     partition_where_clauses,
@@ -28,6 +35,9 @@ __all__ = [
     "column_stats",
     "build_aggregate_specs",
     "agg_column",
+    "column_entropy",
+    "mutual_information",
+    "key_skew_profile",
     "row_compare",
     "row_violations",
     "row_compare_verdicts",

@@ -609,3 +609,123 @@ def profile_compare(
         .otherwise(F.lit(_c.VALIDATION_STATUS_SUCCESS))
         .alias("validation_status"),
     )
+
+
+def column_entropy(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column Shannon entropy + uniqueness profile — the information-
+    theoretic column analyzers a validation engine ships beside cardinality
+    (Deequ's Entropy/Uniqueness analyzers; the reference's aggregate surface
+    has no analog, config_manager.py:871).
+
+    entropy = -sum p ln p over the NON-NULL value distribution, computed
+    without a per-column total join via the identity
+    H = ln(N) - sum(n_i * ln n_i) / N. Plan: one map-side melt (the
+    categorical_profile shape), groupBy (column, value) count (shuffle
+    carries one row per distinct value, partial-agg'd map-side), then a
+    groupBy(column) fold — O(distinct values) ever crosses an exchange.
+
+    Output per column: n_nonnull, n_distinct, entropy (nats),
+    norm_entropy (entropy / ln n_distinct; 0 when a single value),
+    uniqueness_ratio (n_distinct / n_nonnull). 6dp-rounded for
+    cross-engine float stability. NULLs are excluded (report null counts
+    via categorical_profile).
+    """
+    counts = (
+        _melt_to_column_value(df, columns)
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.sum("n")
+    h = F.log(n) - F.sum(F.col("n") * F.log("n")) / n
+    d = F.count(F.lit(1))
+    return (
+        counts.groupBy("column")
+        .agg(
+            n.alias("n_nonnull"),
+            d.alias("n_distinct"),
+            F.round(h, 6).alias("entropy"),
+            F.round(
+                F.when(d > 1, h / F.log(d.cast("double"))).otherwise(0.0), 6
+            ).alias("norm_entropy"),
+            F.round(d / n, 6).alias("uniqueness_ratio"),
+        )
+        .orderBy("column")
+    )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns — detects
+    dependent/redundant columns (Deequ MutualInformation analog). Rows
+    with a NULL on either side are excluded.
+
+    MI = sum_ab p(a,b) ln( p(a,b) / (p(a) p(b)) ), assembled from ONE
+    groupBy(a, b) count (the only O(rows) pass; map-side combined) whose
+    result is O(|A| x |B|) — marginals re-aggregate FROM the joint counts
+    and broadcast back, so nothing row-scale is touched twice. Normalized
+    MI divides by min(H(a), H(b)) (1.0 = one column determines the other;
+    0 = independent), with 0/0 -> 0 for constant columns.
+
+    Output: one row (col_a, col_b, n, mi, nmi), 6dp-rounded.
+    """
+    joint = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    joint = joint.persist()
+    try:
+        ma = joint.groupBy("a").agg(F.sum("nab").alias("na"))
+        mb = joint.groupBy("b").agg(F.sum("nab").alias("nb"))
+        tot = joint.agg(
+            F.sum("nab").alias("n"),
+            (
+                F.log(F.sum("nab"))
+                - F.sum(F.col("nab") * F.log("nab")) / F.sum("nab")
+            ).alias("hab"),
+        )
+        enriched = (
+            joint.join(F.broadcast(ma), "a")
+            .join(F.broadcast(mb), "b")
+            .crossJoin(F.broadcast(tot))
+        )
+        # per-cell contribution: (nab/N) * ln(nab * N / (na * nb))
+        contrib = (F.col("nab") / F.col("n")) * F.log(
+            F.col("nab") * F.col("n") / (F.col("na") * F.col("nb"))
+        )
+        # H(a), H(b) from the same enriched frame: each (a, b) cell carries
+        # its marginal, so sum over DISTINCT a of na*ln(na) needs the
+        # marginal tables, not the joint — aggregate them separately.
+        ha = ma.agg(
+            (F.log(F.sum("na")) - F.sum(F.col("na") * F.log("na")) / F.sum("na"))
+            .alias("ha")
+        )
+        hb = mb.agg(
+            (F.log(F.sum("nb")) - F.sum(F.col("nb") * F.log("nb")) / F.sum("nb"))
+            .alias("hb")
+        )
+        out = (
+            enriched.groupBy("n")
+            .agg(F.sum(contrib).alias("mi"))
+            .crossJoin(F.broadcast(ha))
+            .crossJoin(F.broadcast(hb))
+            .select(
+                F.lit(col_a).alias("col_a"),
+                F.lit(col_b).alias("col_b"),
+                F.col("n"),
+                F.round("mi", 6).alias("mi"),
+                F.round(
+                    F.when(
+                        F.least("ha", "hb") > 1e-12,
+                        F.col("mi") / F.least("ha", "hb"),
+                    ).otherwise(0.0),
+                    6,
+                ).alias("nmi"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        joint.unpersist()

@@ -330,3 +330,44 @@ def salted_agg(
                 F.sqrt((ss - (s * s) / n) / (n - F.lit(1))).alias(name)
             )
     return p1.groupBy(*group_by).agg(*p2_exprs)
+
+
+def key_skew_profile(df: DataFrame, keys: list[str] | str) -> DataFrame:
+    """Group-size skew diagnostics for a prospective shuffle/join key — the
+    pre-flight check that decides whether a key needs salting or AQE skew
+    handling BEFORE a 10^12-row job is launched (north-rule skew mandate;
+    the reference's closest analog is the 10% source/target row-count skew
+    warning, partition_builder.py:167-171).
+
+    One groupBy(keys) count (the only O(rows) pass, map-side combined: the
+    exchange carries one row per distinct key), then a single fold over the
+    O(keys) size distribution. Percentiles are exact (`percentile`,
+    cell-identical to DuckDB quantile_cont) — the distribution has one row
+    per key, which is collect-free but assumed << rows; for key spaces
+    where even that is huge, swap percentile for percentile_approx.
+
+    Output (one row): n_keys, n_rows, max_size, max_share (top key's row
+    fraction — the direct "one reducer gets this much" number), avg_size,
+    p50/p90/p99 size, skew_ratio (max/p50 — >> 1 means a hot key), and the
+    heaviest key rendered as a string.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    sizes = df.groupBy(*key_list).agg(F.count(F.lit(1)).alias("__n"))
+    key_str = F.concat_ws(
+        "|", *[F.col(k).cast("string") for k in key_list]
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_size"),
+        F.round(F.max("__n") / F.sum("__n"), 6).alias("max_share"),
+        F.round(F.avg("__n"), 6).alias("avg_size"),
+        F.expr("percentile(__n, 0.5)").alias("p50_size"),
+        F.expr("percentile(__n, 0.9)").alias("p90_size"),
+        F.expr("percentile(__n, 0.99)").alias("p99_size"),
+        F.round(
+            F.max("__n") / F.expr("percentile(__n, 0.5)"), 6
+        ).alias("skew_ratio"),
+        # deterministic tie-break: among equal max sizes, the largest key
+        F.max_by(key_str, F.struct(F.col("__n"), key_str)).alias("top_key"),
+    )

@@ -354,6 +354,29 @@ NOTES = {
         "Same oracle as referential_orphans: one semantic, two physical "
         "strategies chosen by dim size."
     ),
+    "column_entropy_profile": (
+        "Entropy without a per-column total join: H = ln N - sum(n ln n)/N "
+        "over the (column, value) counts, so the plan is exactly the "
+        "categorical_profile shape — map-side melt (no shuffle), "
+        "groupBy(column, value) count with partial map-side combine (the "
+        "exchange carries one row per DISTINCT value), then an O(distinct) "
+        "groupBy(column) fold. Nothing row-scale crosses an exchange."
+    ),
+    "mutual_info_lang_source": (
+        "ONE O(rows) pass: groupBy(a, b) count, map-side combined. "
+        "Marginals, totals, and both entropies re-aggregate FROM the "
+        "O(|A| x |B|) joint and broadcast back; the MI fold runs over the "
+        "tiny enriched joint. At 100 TB the only cost is the joint count's "
+        "exchange of distinct (a, b) pairs."
+    ),
+    "conv_skew_profile": (
+        "Pre-flight skew check: groupBy(key) count (map-side combined — "
+        "the exchange carries one row per distinct key), then one fold over "
+        "the O(keys) size distribution with exact interpolated percentiles "
+        "(swap percentile_approx in when even the key space is huge). This "
+        "is the query you run BEFORE committing a 10^12-row join to a "
+        "salting strategy."
+    ),
 }
 
 

@@ -543,3 +543,79 @@ def test_profile_compare_approx_same_schema(spark):
     assert all(
         r["validation_status"] == "success" for r in approx.collect()
     )
+
+
+# ------------------------------------------------- entropy / MI / skew ----
+
+
+def test_column_entropy_closed_form(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        column_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", None)],
+        "u string, c string",
+    )
+    rows = {r["column"]: r for r in column_entropy(df, ["u", "c"]).collect()}
+    # u: 2+2 uniform over 2 values -> H = ln 2, norm 1
+    assert rows["u"]["n_nonnull"] == 4 and rows["u"]["n_distinct"] == 2
+    assert abs(rows["u"]["entropy"] - math.log(2)) < 1e-6
+    assert rows["u"]["norm_entropy"] == 1.0
+    assert rows["u"]["uniqueness_ratio"] == 0.5
+    # c: constant (NULL excluded) -> zero entropy, zero norm
+    assert rows["c"]["n_nonnull"] == 3 and rows["c"]["n_distinct"] == 1
+    assert rows["c"]["entropy"] == 0.0 and rows["c"]["norm_entropy"] == 0.0
+
+
+def test_mutual_information_dependence_extremes(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    # b determined by a -> MI = H(a) = ln 2, NMI = 1
+    dep = spark.createDataFrame(
+        [("a", "1"), ("a", "1"), ("b", "2"), ("b", "2")], "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert abs(r["mi"] - math.log(2)) < 1e-6 and r["nmi"] == 1.0
+    # independent uniform 2x2 -> MI = 0
+    ind = spark.createDataFrame(
+        [("a", "1"), ("a", "2"), ("b", "1"), ("b", "2")], "x string, y string"
+    )
+    r = mutual_information(ind, "x", "y").collect()[0]
+    assert abs(r["mi"]) < 1e-6 and abs(r["nmi"]) < 1e-6
+    # NULLs on either side are excluded from n
+    withnull = dep.union(
+        spark.createDataFrame([(None, "1"), ("a", None)], "x string, y string")
+    )
+    assert mutual_information(withnull, "x", "y").collect()[0]["n"] == 4
+
+
+def test_key_skew_profile_closed_form(spark):
+    from professional_services_data_validator_spark.operators.partitioning import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("A",)] * 5 + [("B",)] * 1, "k string"
+    )
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["n_keys"] == 2 and r["n_rows"] == 6
+    assert r["max_size"] == 5 and abs(r["max_share"] - 5 / 6) < 1e-6
+    assert r["p50_size"] == 3.0  # interpolated between 1 and 5
+    assert abs(r["skew_ratio"] - 5 / 3) < 1e-6
+    assert r["top_key"] == "A"
+
+
+def test_key_skew_profile_composite_key_tiebreak(spark):
+    from professional_services_data_validator_spark.operators.partitioning import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 2), ("B", 2)], "k string, d int"
+    )
+    r = key_skew_profile(df, ["k", "d"]).collect()[0]
+    # both groups size 2: deterministic tie-break picks the LARGEST key
+    assert r["top_key"] == "B|2" and r["skew_ratio"] == 1.0
