@@ -428,6 +428,14 @@ def build_parser() -> argparse.ArgumentParser:
     prof.add_argument("--threshold-pct", type=float, default=0.0,
                       help="compare mode: max |percent difference| per "
                       "metric before a row fails")
+    prof.add_argument("--entropy", action="store_true",
+                      help="add a per-column Shannon-entropy / uniqueness "
+                      "section over the categorical columns "
+                      "(operators/aggregates.py column_entropy)")
+    prof.add_argument("--skew-key", default=None,
+                      help="comma list of key columns: add a group-size "
+                      "skew-diagnostics section (max_share/p99/skew_ratio; "
+                      "operators/partitioning.py key_skew_profile)")
 
     # snapshot-diff: incremental validation between two versions of the
     # same table (operators/snapshot.py; the Iceberg snapshot-to-snapshot
@@ -1271,6 +1279,15 @@ def _run_profile(args: argparse.Namespace) -> int:
                 if args.approx
                 else frequent_values(df, cat_cols, k=args.top_k)
             )
+    if cat_cols and getattr(args, "entropy", False):
+        from .operators.aggregates import column_entropy
+
+        sections["entropy"] = column_entropy(df, cat_cols)
+    skew_keys = _split_cols(getattr(args, "skew_key", None))
+    if skew_keys:
+        from .operators.partitioning import key_skew_profile
+
+        sections["skew"] = key_skew_profile(df, skew_keys)
     if num_cols:
         profs = [
             numeric_profile(df, [], c, mode=mode).select(

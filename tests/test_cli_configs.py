@@ -592,3 +592,38 @@ def test_cli_curate_seen_path_incremental(spark, tmp_path, capsys):
     assert got == want and 0 < len(want) < docs.count()
     out = capsys.readouterr().out
     assert f"{docs.count() - len(want)} already-ingested docs skipped" in out
+
+
+def test_cli_profile_entropy_and_skew_sections(spark, tmp_path, capsys):
+    """profile --entropy --skew-key adds sections that equal the operators
+    run directly (parquet outputs byte-equal)."""
+    from professional_services_data_validator_spark.cli import main
+    from professional_services_data_validator_spark.operators.aggregates import (
+        column_entropy,
+    )
+    from professional_services_data_validator_spark.operators.partitioning import (
+        key_skew_profile,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 2), ("b", "x", 3)],
+        "s string, t string, i int",
+    ).write.parquet(src)
+    out_p = str(tmp_path / "prof")
+    rc = main([
+        "profile", "--source-path", src, "--top-k", "0",
+        "--entropy", "--skew-key", "s,t", "--output", out_p,
+    ])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "== entropy ==" in stdout and "== skew ==" in stdout
+    df = spark.read.parquet(src)
+    want_ent = {tuple(r) for r in column_entropy(df, ["s", "t"]).collect()}
+    got_ent = {
+        tuple(r) for r in spark.read.parquet(f"{out_p}/entropy").collect()
+    }
+    assert got_ent == want_ent
+    want_skew = key_skew_profile(df, ["s", "t"]).collect()[0].asDict()
+    got_skew = spark.read.parquet(f"{out_p}/skew").collect()[0].asDict()
+    assert got_skew == want_skew
