@@ -4049,3 +4049,112 @@ FROM s
 
 _TRAINING_QUERIES["conv_skew_profile"] = q_conv_skew
 _TRAINING_ORACLES["conv_skew_profile"] = _SQL_CONV_SKEW
+
+
+def q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the events numeric columns in
+    ONE aggregate pass (operators/aggregates.py numeric_corr_matrix):
+    C(n,2) corr aggregates share a single scan."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        numeric_corr_matrix,
+    )
+
+    ev = spark.table("events")
+    return numeric_corr_matrix(ev, ["event_id", "user_id", "value"])
+
+
+_SQL_NUMERIC_CORR = """
+SELECT * FROM (
+  SELECT 'event_id' AS col_a, 'user_id' AS col_b,
+    ROUND(corr(CAST(event_id AS DOUBLE), CAST(user_id AS DOUBLE)), 6) AS corr
+  FROM events
+  UNION ALL
+  SELECT 'event_id', 'value',
+    ROUND(corr(CAST(event_id AS DOUBLE), CAST(value AS DOUBLE)), 6)
+  FROM events
+  UNION ALL
+  SELECT 'user_id', 'value',
+    ROUND(corr(CAST(user_id AS DOUBLE), CAST(value AS DOUBLE)), 6)
+  FROM events
+) ORDER BY col_a, col_b
+"""
+
+
+_TRAINING_QUERIES["numeric_corr_events"] = q_numeric_corr
+_TRAINING_ORACLES["numeric_corr_events"] = _SQL_NUMERIC_CORR
+
+
+def q_categorical_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-profile validation source vs defect-injected target
+    (operators/aggregates.py categorical_compare): n_distinct / n_null /
+    modal value / modal count verdicts per column — the string-column
+    companion to profile_compare_by_role."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_compare,
+    )
+
+    return categorical_compare(
+        spark.table("transcripts"),
+        spark.table("transcripts_target"),
+        ["role", "tool"],
+    )
+
+
+def _categorical_compare_oracle_sql(threshold_pct: float = 0.0) -> str:
+    """DuckDB replay of categorical_compare over (role, tool): per
+    column/side profile scalars assembled into the same melted verdict
+    rows (modal tie-break: max (count, value), like the Spark max_by)."""
+    cols = ["role", "tool"]
+    thr = threshold_pct
+
+    def scal(c, tbl, metric):
+        if metric == "n_distinct":
+            return (f"(SELECT CAST(count(DISTINCT CAST({c} AS VARCHAR)) "
+                    f"AS BIGINT) FROM {tbl})")
+        if metric == "n_null":
+            return (f"(SELECT CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) "
+                    f"FROM {tbl})")
+        if metric == "top_value":
+            return (f"(SELECT CAST({c} AS VARCHAR) FROM {tbl} "
+                    f"WHERE {c} IS NOT NULL GROUP BY 1 "
+                    f"ORDER BY count(*) DESC, 1 DESC LIMIT 1)")
+        return (f"(SELECT CAST(count(*) AS BIGINT) FROM {tbl} "
+                f"WHERE {c} IS NOT NULL GROUP BY CAST({c} AS VARCHAR) "
+                f"ORDER BY count(*) DESC, CAST({c} AS VARCHAR) DESC LIMIT 1)")
+
+    blocks = []
+    for c in cols:
+        for m in ("n_distinct", "n_null", "top_count"):
+            s, t = scal(c, "transcripts", m), scal(c, "transcripts_target", m)
+            blocks.append(f"""
+SELECT '{c}' AS "column", '{m}' AS metric,
+  CAST(s AS VARCHAR) AS source_value, CAST(t AS VARCHAR) AS target_value,
+  CASE WHEN s IS NOT NULL AND t IS NOT NULL AND s != 0
+       THEN ROUND((t - s) * 100.0 / s, 6) END AS pct_diff,
+  CASE WHEN (s IS NULL AND t IS NULL)
+         OR (s IS NOT NULL AND t IS NOT NULL AND
+             CASE WHEN s != 0 THEN abs((t - s) * 100.0 / s) <= {thr}
+                  ELSE t = 0 END)
+       THEN 'success' ELSE 'fail' END AS validation_status
+FROM (SELECT {s} AS s, {t} AS t)""")
+        sv, tv = scal(c, "transcripts", "top_value"), scal(
+            c, "transcripts_target", "top_value")
+        blocks.append(f"""
+SELECT '{c}', 'top_value', s, t, CAST(NULL AS DOUBLE),
+  CASE WHEN (s IS NULL AND t IS NULL) OR s = t THEN 'success'
+       ELSE 'fail' END
+FROM (SELECT {sv} AS s, {tv} AS t)""")
+    return (
+        _CTES
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(blocks)
+        + '\n) ORDER BY "column", metric'
+    )
+
+
+_TRAINING_QUERIES["categorical_compare_roles"] = q_categorical_compare
+_TRAINING_ORACLES["categorical_compare_roles"] = (
+    _categorical_compare_oracle_sql()
+)

@@ -72,6 +72,8 @@ TRAINING_BENCH = [
     "column_entropy_profile",
     "mutual_info_lang_source",
     "conv_skew_profile",
+    "numeric_corr_events",
+    "categorical_compare_roles",
 ]
 
 

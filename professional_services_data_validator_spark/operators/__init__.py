@@ -1,9 +1,11 @@
 from .aggregates import (
     agg_column,
     build_aggregate_specs,
+    categorical_compare,
     column_entropy,
     column_stats,
     mutual_information,
+    numeric_corr_matrix,
 )
 from .row_compare import row_compare, row_violations, row_compare_verdicts
 from .uniqueness import uniqueness_violations, uniqueness_verdict
@@ -37,6 +39,8 @@ __all__ = [
     "agg_column",
     "column_entropy",
     "mutual_information",
+    "numeric_corr_matrix",
+    "categorical_compare",
     "key_skew_profile",
     "row_compare",
     "row_violations",

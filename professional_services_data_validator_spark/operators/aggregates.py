@@ -729,3 +729,155 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         return out
     finally:
         joint.unpersist()
+
+
+def numeric_corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over the selected numeric columns in
+    ONE aggregate pass (Deequ Correlation analog; the reference's aggregate
+    surface stops at per-column stats). All C(n,2) `corr` aggregates share
+    a single scan + partial-agg — the exchange carries one partial-moment
+    row per map partition, never data. Rows with a NULL on either side of
+    a pair are excluded pairwise (Spark/DuckDB corr semantics agree).
+
+    Output: (col_a, col_b, corr) long format, col_a < col_b, 6dp-rounded,
+    ordered — NULL corr when either side is constant or a pair has < 2
+    complete rows.
+    """
+    pairs = [
+        (a, b)
+        for i, a in enumerate(columns)
+        for b in columns[i + 1:]
+    ]
+    if not pairs:
+        raise ValueError("need at least two columns")
+
+    def _corr(a: str, b: str) -> Column:
+        # pairwise deletion: mask each side on the OTHER being non-null, so
+        # covar/stddev all see exactly the complete pairs; try_divide keeps
+        # a constant column (zero stddev) NULL instead of raising under
+        # ANSI mode (built-in corr divides by zero there).
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        av = F.when(both, F.col(a).cast("double"))
+        bv = F.when(both, F.col(b).cast("double"))
+        return F.round(
+            F.try_divide(
+                F.covar_samp(av, bv),
+                F.stddev_samp(av) * F.stddev_samp(bv),
+            ),
+            6,
+        )
+
+    wide = df.agg(
+        *[_corr(a, b).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    melted = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"__c_{i}").alias("corr"),
+                    )
+                    for i, (a, b) in enumerate(pairs)
+                ]
+            )
+        ).alias("e")
+    ).select("e.col_a", "e.col_b", "e.corr")
+    return melted.orderBy("col_a", "col_b")
+
+
+def categorical_compare(
+    source: DataFrame,
+    target: DataFrame,
+    columns: list[str],
+    threshold_pct: float = 0.0,
+) -> DataFrame:
+    """Source-vs-target comparison of the CATEGORICAL profile — the
+    companion to ``profile_compare`` (numeric shapes) for string columns:
+    per column, n_distinct / n_null / modal value / modal count must agree
+    between the two tables within ``threshold_pct``.
+
+    Plan: one ``categorical_profile`` pass per side (two-level exact
+    aggregate, O(distinct values) through the exchanges), a full-outer join
+    over O(columns) profile rows, then an explode melt to one verdict row
+    per (column, metric). Numeric metrics carry pct_diff; ``top_value``
+    compares by equality (pct_diff NULL). A row fails on one-sided NULL,
+    |pct_diff| > threshold, or unequal modal values.
+
+    Output: (column, metric, source_value, target_value, pct_diff,
+    validation_status) — values rendered as strings (mixed metric types),
+    like the reference's combiner report (consts.py value columns).
+    """
+    from .. import consts as _c
+
+    s = categorical_profile(source, columns)
+    t = categorical_profile(target, columns)
+    j = s.alias("s").join(
+        t.alias("t"), F.col("s.column") == F.col("t.column"), "full_outer"
+    ).select(
+        F.coalesce(F.col("s.column"), F.col("t.column")).alias("column"),
+        *[
+            F.col(f"s.{m}").alias(f"s_{m}")
+            for m in ("n_distinct", "n_null", "top_value", "top_count")
+        ],
+        *[
+            F.col(f"t.{m}").alias(f"t_{m}")
+            for m in ("n_distinct", "n_null", "top_value", "top_count")
+        ],
+    )
+
+    def _num_row(metric: str):
+        sv, tv = F.col(f"s_{metric}").cast("double"), F.col(
+            f"t_{metric}"
+        ).cast("double")
+        pct = F.when(
+            sv.isNotNull() & tv.isNotNull() & (sv != 0),
+            F.round((tv - sv) / sv * 100.0, 6),
+        )
+        ok = (
+            (sv.isNull() & tv.isNull())
+            | (
+                sv.isNotNull()
+                & tv.isNotNull()
+                & (
+                    F.when(sv != 0, F.abs((tv - sv) / sv * 100.0)
+                           <= F.lit(threshold_pct))
+                    .otherwise(tv == 0)
+                )
+            )
+        )
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            F.col(f"s_{metric}").cast("string").alias("source_value"),
+            F.col(f"t_{metric}").cast("string").alias("target_value"),
+            pct.alias("pct_diff"),
+            F.when(ok, F.lit(_c.VALIDATION_STATUS_SUCCESS))
+            .otherwise(F.lit(_c.VALIDATION_STATUS_FAIL))
+            .alias("validation_status"),
+        )
+
+    top_ok = (
+        F.col("s_top_value").isNull() & F.col("t_top_value").isNull()
+    ) | (F.col("s_top_value") == F.col("t_top_value"))
+    top_row = F.struct(
+        F.lit("top_value").alias("metric"),
+        F.col("s_top_value").alias("source_value"),
+        F.col("t_top_value").alias("target_value"),
+        F.lit(None).cast("double").alias("pct_diff"),
+        F.when(top_ok, F.lit(_c.VALIDATION_STATUS_SUCCESS))
+        .otherwise(F.lit(_c.VALIDATION_STATUS_FAIL))
+        .alias("validation_status"),
+    )
+    melted = j.select(
+        "column",
+        F.explode(
+            F.array(
+                _num_row("n_distinct"),
+                _num_row("n_null"),
+                top_row,
+                _num_row("top_count"),
+            )
+        ).alias("e"),
+    ).select("column", "e.*")
+    return melted.orderBy("column", "metric")

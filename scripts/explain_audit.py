@@ -377,6 +377,21 @@ NOTES = {
         "is the query you run BEFORE committing a 10^12-row join to a "
         "salting strategy."
     ),
+    "numeric_corr_events": (
+        "All C(n,2) Pearson correlations in ONE aggregate pass: pairwise-"
+        "masked covar/stddev moments partial-agg map-side, the exchange "
+        "carries one partial-moment row per map partition. try_divide "
+        "keeps constant columns NULL under ANSI instead of raising. The "
+        "melt to long format is a 1-row explode on the driver-bound "
+        "aggregate result."
+    ),
+    "categorical_compare_roles": (
+        "One categorical_profile pass per side (two-level aggregate: the "
+        "exchange carries one row per DISTINCT value), a full-outer join "
+        "over O(columns) profile rows, then the combiner-style explode "
+        "melt to per-(column, metric) verdicts. After the two profile "
+        "scans everything is O(columns)."
+    ),
 }
 
 

@@ -619,3 +619,57 @@ def test_key_skew_profile_composite_key_tiebreak(spark):
     r = key_skew_profile(df, ["k", "d"]).collect()[0]
     # both groups size 2: deterministic tie-break picks the LARGEST key
     assert r["top_key"] == "B|2" and r["skew_ratio"] == 1.0
+
+
+def test_numeric_corr_matrix_closed_form(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        numeric_corr_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 1.0), (3.0, 6.0, 3.0)],
+        "x double, y double, z double",
+    )
+    rows = {
+        (r.col_a, r.col_b): r["corr"]
+        for r in numeric_corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert rows[("x", "y")] == 1.0  # y = 2x exactly
+    assert abs(rows[("x", "z")] - (-0.5)) < 1e-6  # hand-computed
+    # constant column -> NULL corr, and NULL rows excluded pairwise
+    df2 = spark.createDataFrame(
+        [(1.0, 7.0, 1.0), (2.0, 7.0, None), (3.0, 7.0, 3.0)],
+        "x double, c double, w double",
+    )
+    rows2 = {
+        (r.col_a, r.col_b): r["corr"]
+        for r in numeric_corr_matrix(df2, ["x", "c", "w"]).collect()
+    }
+    assert rows2[("x", "c")] is None
+    assert rows2[("x", "w")] == 1.0  # the (2.0, None) row drops pairwise
+
+
+def test_categorical_compare_verdicts(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_compare,
+    )
+
+    src = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "c string"
+    )
+    tgt_same = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "c string"
+    )
+    ok = categorical_compare(src, tgt_same, ["c"]).collect()
+    assert all(r.validation_status == "success" for r in ok)
+    tgt_diff = spark.createDataFrame(
+        [("b",), ("b",), ("b",), ("x",)], "c string"
+    )
+    rows = {
+        r.metric: r for r in categorical_compare(src, tgt_diff, ["c"]).collect()
+    }
+    assert rows["n_distinct"].validation_status == "success"  # 2 == 2
+    assert rows["n_null"].validation_status == "fail"  # 1 -> 0, src != 0
+    assert rows["top_value"].validation_status == "fail"  # a vs b
+    assert rows["top_count"].validation_status == "fail"  # 2 vs 3, +50%
+    assert rows["top_count"].pct_diff == 50.0
