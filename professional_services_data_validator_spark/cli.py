@@ -1333,6 +1333,20 @@ def _run_profile(args: argparse.Namespace) -> int:
             F.col("validation_status") == "fail"
         ).limit(1).count():
             rc = 1
+    if (tgt_path or tgt_table) and cat_cols:
+        # categorical compare: n_distinct / n_null / modal value+count per
+        # string column (operators/aggregates.py categorical_compare)
+        from .operators.aggregates import categorical_compare
+
+        tgt = _load_side(spark, tgt_path, tgt_table)
+        cat_cmp = categorical_compare(
+            df, tgt, cat_cols, threshold_pct=args.threshold_pct
+        ).persist()
+        sections["compare_categorical"] = cat_cmp
+        if cat_cmp.filter(
+            F.col("validation_status") == "fail"
+        ).limit(1).count():
+            rc = 1
     for title, frame in sections.items():
         _show(title, frame)
         if args.output:
@@ -1341,6 +1355,8 @@ def _run_profile(args: argparse.Namespace) -> int:
             )
     if (tgt_path or tgt_table) and num_cols:
         sections["compare"].unpersist()
+    if "compare_categorical" in sections:
+        sections["compare_categorical"].unpersist()
     if not preexisting:
         spark.stop()
     return rc

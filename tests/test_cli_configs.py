@@ -627,3 +627,40 @@ def test_cli_profile_entropy_and_skew_sections(spark, tmp_path, capsys):
     want_skew = key_skew_profile(df, ["s", "t"]).collect()[0].asDict()
     got_skew = spark.read.parquet(f"{out_p}/skew").collect()[0].asDict()
     assert got_skew == want_skew
+
+
+def test_cli_profile_compare_categorical_section(spark, tmp_path, capsys):
+    """profile --target-path with categorical columns adds the
+    compare_categorical verdict section (== operator output) and drives
+    the exit code."""
+    from professional_services_data_validator_spark.cli import main
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_compare,
+    )
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "s string, i int"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [("b", 1), ("b", 2), ("b", 3)], "s string, i int"
+    ).write.parquet(tgt)
+    out_p = str(tmp_path / "prof")
+    rc = main([
+        "profile", "--source-path", src, "--target-path", tgt,
+        "--columns", "s", "--numeric-columns", "i", "--top-k", "0",
+        "--output", out_p,
+    ])
+    assert rc == 1  # modal value a->b and n_distinct 2->1 fail
+    assert "== compare_categorical ==" in capsys.readouterr().out
+    want = {
+        tuple(r)
+        for r in categorical_compare(
+            spark.read.parquet(src), spark.read.parquet(tgt), ["s"]
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out_p}/compare_categorical").collect()
+    }
+    assert got == want
