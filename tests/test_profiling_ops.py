@@ -673,3 +673,28 @@ def test_categorical_compare_verdicts(spark):
     assert rows["top_value"].validation_status == "fail"  # a vs b
     assert rows["top_count"].validation_status == "fail"  # 2 vs 3, +50%
     assert rows["top_count"].pct_diff == 50.0
+
+
+def test_new_profilers_empty_input_totality(spark):
+    """Entropy / MI / skew / corr / categorical_compare are total on empty
+    inputs — no inference errors, no ANSI division failures."""
+    from professional_services_data_validator_spark.operators.aggregates import (
+        categorical_compare,
+        column_entropy,
+        mutual_information,
+        numeric_corr_matrix,
+    )
+    from professional_services_data_validator_spark.operators.partitioning import (
+        key_skew_profile,
+    )
+
+    empty = spark.createDataFrame([], "a string, b string, x double, y double")
+    assert column_entropy(empty, ["a", "b"]).count() == 0
+    assert mutual_information(empty, "a", "b").count() == 0
+    skew = key_skew_profile(empty, "a").collect()[0]
+    assert skew["n_keys"] == 0 and skew["max_size"] is None
+    corr = numeric_corr_matrix(empty, ["x", "y"]).collect()[0]
+    assert corr["corr"] is None
+    cmp_rows = categorical_compare(empty, empty, ["a"]).collect()
+    # zero-count profiles on both sides agree
+    assert all(r.validation_status == "success" for r in cmp_rows)
