@@ -128,6 +128,13 @@ def _add_job_args(p: argparse.ArgumentParser) -> None:
         "--filter-status", choices=["success", "fail"], help="report filter"
     )
     p.add_argument(
+        "--explain",
+        action="store_true",
+        help="dry run: print the report's formatted physical plan (what "
+        "shuffles, which join strategy, pushed filters) and exit 0 "
+        "without executing the validation",
+    )
+    p.add_argument(
         "--format",
         choices=["table", "text", "csv", "json"],
         default="table",
@@ -1026,6 +1033,13 @@ def _execute_job(args: argparse.Namespace, cfg_dict: dict) -> int:
         target = target.filter(pred)
 
     report = run_validation(config, source, target, spark=spark)
+    if getattr(args, "explain", False):
+        # dry run: show the physical plan the job WOULD execute — shuffle
+        # count, join strategy, pushdown — without paying for it
+        report.explain("formatted")
+        if not preexisting:
+            spark.stop()
+        return 0
     # every downstream action (verdicts, write, text, exit count) re-executes
     # the validation DAG without this — for a ROW validation that is the full
     # O(rows) outer join paid up to 4x (VERDICT r2 'what's wrong' #2)

@@ -664,3 +664,26 @@ def test_cli_profile_compare_categorical_section(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{out_p}/compare_categorical").collect()
     }
     assert got == want
+
+
+def test_cli_validate_explain_dry_run(spark, tmp_path, capsys):
+    """--explain prints the formatted physical plan and exits 0 without
+    executing (no output parquet is written)."""
+    from professional_services_data_validator_spark.cli import main
+
+    src = str(tmp_path / "s")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(src)
+    out_p = str(tmp_path / "report")
+    rc = main([
+        "validate", "column",
+        "--source-path", src, "--target-path", src,
+        "--count", "*", "--output", out_p, "--explain",
+    ])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "== Physical Plan ==" in stdout
+    import os as _os
+
+    assert not _os.path.exists(out_p)  # nothing executed or written
