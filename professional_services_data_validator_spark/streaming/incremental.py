@@ -449,3 +449,84 @@ def stream_seen_filter(
         F.broadcast(seen_keys), nk == F.col("__seen_key"), "left_anti"
     )
     return definite_new.unionByName(verified_new)
+
+
+def stream_drift_psi(
+    stream: DataFrame,
+    reference: DataFrame,
+    category_col,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    window: str = "1 day",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-window Population Stability Index of a categorical column
+    against a STATIC reference distribution — the streaming twin of
+    operators.drift.psi (per-day drift verdicts as each window closes).
+
+    The reference distribution is computed once batch-side and enters the
+    stream as literals (an |categories|-entry map — roles/langs/tools are
+    small). Per window the stream needs only ONE stateful aggregation
+    chain: counts per (window, value), then the per-window fold (chained
+    event-time aggregations, append mode). Categories present in the
+    reference but ABSENT from a window cannot produce rows, so their
+    epsilon-floored contribution sum((eps - q) ln(eps/q)) is folded in as
+    a precomputed constant, and each OBSERVED reference category subtracts
+    its own absent-term back out — exact algebra, no row generation. An
+    observed value missing from the reference gets q = eps (its correction
+    term is identically 0).
+    """
+    cat = (
+        F.col(category_col) if isinstance(category_col, str) else category_col
+    )
+    import math
+
+    ref = (
+        reference.groupBy(cat.cast("string").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tot = sum(r["n"] for r in ref) or 1
+    q_by_v = {r["v"]: max(r["n"] / tot, eps) for r in ref if r["v"] is not None}
+    c_total = sum((eps - q) * math.log(eps / q) for q in q_by_v.values())
+    q_map = (
+        F.create_map(
+            *[F.lit(x) for v, q in sorted(q_by_v.items()) for x in (v, q)]
+        )
+        if q_by_v
+        else F.create_map()
+    )
+
+    s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    counts = (
+        s.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            cat.cast("string").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = counts.groupBy("w").agg(
+        F.collect_list(F.struct("n", "v")).alias("cells")
+    )
+    total = F.aggregate(
+        "cells", F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
+    ).cast("double")
+
+    def _term(x):
+        p = F.greatest(x["n"] / total, F.lit(eps))
+        q = F.coalesce(q_map[x["v"]], F.lit(eps))
+        present = (p - q) * F.log(p / q)
+        absent = (F.lit(eps) - q) * F.log(F.lit(eps) / q)
+        return present - absent
+
+    psi = (
+        F.aggregate(
+            "cells", F.lit(0.0), lambda acc, x: acc + _term(x)
+        )
+        + F.lit(c_total)
+    )
+    return cells.select(
+        F.col("w.start").cast("date").alias("ts"),
+        F.round(psi, 6).alias("psi"),
+    )

@@ -344,3 +344,58 @@ def test_stream_seen_filter_exact_and_stateless(spark, sf_dir):
         ).collect()
     )
     assert got == want and 0 < len(want) < docs.count()
+
+
+def test_stream_drift_psi_matches_batch_per_day(spark, transcripts):
+    """Per-window streaming PSI == the batch psi() operator run on each
+    day's slice vs the same reference (6dp) — including the absent-category
+    correction algebra (chained event-time aggregations, append mode)."""
+    from professional_services_data_validator_spark.operators.drift import psi
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_drift_psi,
+    )
+
+    # reference = the global role distribution; per-day slices drift from it
+    reference = transcripts
+    # append-mode windows emit only once the watermark passes their end, so
+    # the LAST real day needs a later event to flush it: add one sentinel
+    # turn 2 days past max(ts) (its own window stays open — the correct
+    # streaming late-data policy, asserted below)
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    sentinel = transcripts.limit(1).withColumn(
+        "ts", (F.lit(max_ts) + F.expr("INTERVAL 2 DAYS")).cast(
+            dict(transcripts.dtypes)["ts"]
+        )
+    )
+    augmented = transcripts.unionByName(sentinel)
+    with tempfile.TemporaryDirectory() as d:
+        stream = _file_stream(spark, augmented, d)
+        out = stream_drift_psi(
+            stream, reference, "role", watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("psi_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {str(r.ts): r.psi for r in spark.table("psi_out").collect()}
+    days = [
+        r.d
+        for r in transcripts.select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    ]
+    # every REAL day emitted; the sentinel's still-open window did not
+    assert set(got) == {str(d) for d in days} and len(days) > 1
+    for day in days:
+        batch = psi(
+            transcripts.filter(F.col("ts").cast("date") == F.lit(day)),
+            reference,
+            F.col("role"),
+        ).collect()[0]["psi"]
+        # NOTE: batch psi() floors BOTH sides' proportions; the streaming
+        # version floors identically, so values agree to rounding
+        assert abs(got[str(day)] - round(batch, 6)) < 2e-6, day
