@@ -4158,3 +4158,39 @@ _TRAINING_QUERIES["categorical_compare_roles"] = q_categorical_compare
 _TRAINING_ORACLES["categorical_compare_roles"] = (
     _categorical_compare_oracle_sql()
 )
+
+
+def q_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness validation per role after deterministically
+    dropping two ingest days (operators/temporal.py calendar_completeness):
+    the silently-missing-partition check. Expected per-group range defaults
+    to the group's own [min, max] span."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.temporal import (
+        calendar_completeness,
+    )
+
+    t = spark.table("transcripts").filter(
+        ~F.dayofmonth("ts").isin(7, 19)
+    )
+    return calendar_completeness(t, "ts", ["role"])
+
+
+_SQL_MISSING_DAYS = f"""{_CTES},
+obs AS (
+  SELECT role, CAST(ts AS DATE) AS day FROM transcripts
+  WHERE day(ts) NOT IN (7, 19) GROUP BY 1, 2),
+b AS (SELECT role, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY role),
+cal AS (
+  SELECT role, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM b)
+SELECT cal.role, cal.day FROM cal
+WHERE NOT EXISTS (
+  SELECT 1 FROM obs WHERE obs.role = cal.role AND obs.day = cal.day)
+ORDER BY role, day
+"""
+
+
+_TRAINING_QUERIES["missing_days_by_role"] = q_missing_days
+_TRAINING_ORACLES["missing_days_by_role"] = _SQL_MISSING_DAYS

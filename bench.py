@@ -74,6 +74,7 @@ TRAINING_BENCH = [
     "conv_skew_profile",
     "numeric_corr_events",
     "categorical_compare_roles",
+    "missing_days_by_role",
 ]
 
 

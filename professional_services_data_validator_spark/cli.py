@@ -443,6 +443,10 @@ def build_parser() -> argparse.ArgumentParser:
                       help="comma list of key columns: add a group-size "
                       "skew-diagnostics section (max_share/p99/skew_ratio; "
                       "operators/partitioning.py key_skew_profile)")
+    prof.add_argument("--mi", default=None,
+                      help="column pairs 'a:b[,c:d]': add a mutual-"
+                      "information section (one row per pair; "
+                      "operators/aggregates.py mutual_information)")
 
     # snapshot-diff: incremental validation between two versions of the
     # same table (operators/snapshot.py; the Iceberg snapshot-to-snapshot
@@ -1302,6 +1306,19 @@ def _run_profile(args: argparse.Namespace) -> int:
         from .operators.partitioning import key_skew_profile
 
         sections["skew"] = key_skew_profile(df, skew_keys)
+    if getattr(args, "mi", None):
+        from .operators.aggregates import mutual_information
+
+        mi_frames = []
+        for pair in args.mi.split(","):
+            a, _, b = pair.strip().partition(":")
+            if not b:
+                raise SystemExit(f"--mi needs col_a:col_b, got {pair!r}")
+            mi_frames.append(mutual_information(df, a, b))
+        out_mi = mi_frames[0]
+        for other in mi_frames[1:]:
+            out_mi = out_mi.unionByName(other)
+        sections["mutual_information"] = out_mi
     if num_cols:
         profs = [
             numeric_profile(df, [], c, mode=mode).select(

@@ -215,3 +215,60 @@ def metric_anomalies(
         )
         .orderBy(*key_cols, "ts")
     )
+
+
+def calendar_completeness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    expected_start=None,
+    expected_end=None,
+) -> DataFrame:
+    """Date-coverage validation: which calendar days in the expected range
+    carry NO rows (a day-partitioned ingest that silently dropped a
+    partition is the classic failure this catches; the reference can only
+    see it as a count mismatch after the fact).
+
+    Plan: distinct observed days per group (one map-side-combined
+    aggregate — the exchange carries one row per (group, day)), the
+    expected calendar generated with `sequence(min, max)` + explode from
+    the observed bounds (or explicit ``expected_start``/``expected_end``),
+    then a left-anti join of calendar vs observed — both sides O(days),
+    nothing row-scale crosses a second exchange.
+
+    Output: one row per (group..., missing day), ordered. Empty output =
+    complete coverage. With ``group_cols``, each group's expected range
+    defaults to ITS OWN [min, max] span.
+    """
+    gc = list(group_cols or [])
+    day = F.col(ts_col).cast("date").alias("day")
+    observed = df.select(*gc, day).groupBy(*gc, "day").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    observed = observed.persist()
+    try:
+        lo = (
+            F.lit(expected_start).cast("date")
+            if expected_start is not None
+            else F.min("day")
+        )
+        hi = (
+            F.lit(expected_end).cast("date")
+            if expected_end is not None
+            else F.max("day")
+        )
+        bounds = observed.groupBy(*gc).agg(
+            lo.alias("__lo"), hi.alias("__hi")
+        )
+        calendar = bounds.select(
+            *gc,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"))
+            ).alias("day"),
+        )
+        missing = calendar.join(
+            observed.select(*gc, "day"), gc + ["day"], "left_anti"
+        ).orderBy(*gc, "day")
+        return missing.localCheckpoint(eager=True)
+    finally:
+        observed.unpersist()

@@ -392,6 +392,14 @@ NOTES = {
         "melt to per-(column, metric) verdicts. After the two profile "
         "scans everything is O(columns)."
     ),
+    "missing_days_by_role": (
+        "Calendar completeness: ONE distinct (group, day) aggregate is the "
+        "only O(rows) pass (map-side combined — the exchange carries one "
+        "row per group-day); the expected calendar explodes from each "
+        "group's [min, max] bounds (O(groups) rows in, O(days) out) and "
+        "the anti-join runs over O(days) vs O(days). A year of a "
+        "10^12-turn table costs one scan + a 365-row-per-group join."
+    ),
 }
 
 

@@ -687,3 +687,33 @@ def test_cli_validate_explain_dry_run(spark, tmp_path, capsys):
     import os as _os
 
     assert not _os.path.exists(out_p)  # nothing executed or written
+
+
+def test_cli_profile_mi_section(spark, tmp_path, capsys):
+    from professional_services_data_validator_spark.cli import main
+    from professional_services_data_validator_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", "1", "x"), ("a", "1", "y"), ("b", "2", "x"), ("b", "2", "y")],
+        "p string, q string, r string",
+    ).write.parquet(src)
+    out_p = str(tmp_path / "prof")
+    rc = main([
+        "profile", "--source-path", src, "--top-k", "0",
+        "--mi", "p:q,p:r", "--output", out_p,
+    ])
+    assert rc == 0
+    assert "== mutual_information ==" in capsys.readouterr().out
+    df = spark.read.parquet(src)
+    got = {
+        (r.col_a, r.col_b): (r.mi, r.nmi)
+        for r in spark.read.parquet(f"{out_p}/mutual_information").collect()
+    }
+    assert got[("p", "q")] == tuple(
+        mutual_information(df, "p", "q").collect()[0][3:]
+    )
+    assert got[("p", "q")][1] == 1.0  # q determined by p
+    assert abs(got[("p", "r")][0]) < 1e-9  # independent

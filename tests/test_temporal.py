@@ -164,3 +164,28 @@ def test_metric_anomalies_one_exchange(spark):
     # one hash exchange on the key for the window; the final orderBy adds
     # its range exchange, nothing else
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_calendar_completeness_gaps_and_ranges(spark):
+    from professional_services_data_validator_spark.operators.temporal import (
+        calendar_completeness,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01"), ("a", "2024-01-03"),
+         ("b", "2024-02-01"), ("b", "2024-02-02")],
+        "k string, d string",
+    ).select("k", F.col("d").cast("timestamp").alias("ts"))
+    # per-group spans: a misses the middle day; b is complete
+    got = [(r.k, str(r.day)) for r in
+           calendar_completeness(df, "ts", ["k"]).collect()]
+    assert got == [("a", "2024-01-02")]
+    # explicit expected range extends past the observed max
+    got2 = [str(r.day) for r in calendar_completeness(
+        df.filter("k = 'a'"), "ts", expected_end="2024-01-05"
+    ).collect()]
+    assert got2 == ["2024-01-02", "2024-01-04", "2024-01-05"]
+    # complete coverage -> empty
+    assert calendar_completeness(
+        df.filter("k = 'b'"), "ts", ["k"]
+    ).count() == 0
