@@ -4194,3 +4194,46 @@ ORDER BY role, day
 
 _TRAINING_QUERIES["missing_days_by_role"] = q_missing_days
 _TRAINING_ORACLES["missing_days_by_role"] = _SQL_MISSING_DAYS
+
+
+def q_novel_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-value detection target vs source on (role, tool) with a
+    deterministically planted novel role (operators/aggregates.py
+    novel_categories)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        novel_categories,
+    )
+
+    tgt = spark.table("transcripts_target").withColumn(
+        "role",
+        F.when(F.col("event_id") % 997 == 0, F.lit("moderator")).otherwise(
+            F.col("role")
+        ),
+    )
+    return novel_categories(spark.table("transcripts"), tgt, ["role", "tool"])
+
+
+_SQL_NOVEL_CATEGORIES = f"""{_CTES},
+tgt AS (
+  SELECT CASE WHEN event_id % 997 = 0 THEN 'moderator' ELSE role END AS role,
+         tool
+  FROM transcripts_target),
+tm AS (
+  SELECT 'role' AS "column", role AS value FROM tgt
+  UNION ALL SELECT 'tool', tool FROM tgt),
+sm AS (
+  SELECT 'role' AS "column", CAST(role AS VARCHAR) AS value FROM transcripts
+  UNION ALL SELECT 'tool', tool FROM transcripts),
+tc AS (SELECT "column", value, CAST(count(*) AS BIGINT) AS n_rows
+       FROM tm WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT tc."column", tc.value, tc.n_rows FROM tc
+WHERE NOT EXISTS (
+  SELECT 1 FROM sm
+  WHERE sm."column" = tc."column" AND sm.value = tc.value)
+ORDER BY "column", value
+"""
+
+
+_TRAINING_QUERIES["novel_categories_roles"] = q_novel_categories
+_TRAINING_ORACLES["novel_categories_roles"] = _SQL_NOVEL_CATEGORIES

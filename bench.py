@@ -75,6 +75,7 @@ TRAINING_BENCH = [
     "numeric_corr_events",
     "categorical_compare_roles",
     "missing_days_by_role",
+    "novel_categories_roles",
 ]
 
 

@@ -5,6 +5,7 @@ from .aggregates import (
     column_entropy,
     column_stats,
     mutual_information,
+    novel_categories,
     numeric_corr_matrix,
 )
 from .row_compare import row_compare, row_violations, row_compare_verdicts
@@ -41,6 +42,7 @@ __all__ = [
     "mutual_information",
     "numeric_corr_matrix",
     "categorical_compare",
+    "novel_categories",
     "key_skew_profile",
     "row_compare",
     "row_violations",

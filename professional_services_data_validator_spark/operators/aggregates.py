@@ -881,3 +881,33 @@ def categorical_compare(
         ).alias("e"),
     ).select("column", "e.*")
     return melted.orderBy("column", "metric")
+
+
+def novel_categories(
+    source: DataFrame, target: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Value-set containment validation: values the TARGET carries that the
+    source has never seen, per column — the "new enum value appeared"
+    drift check (a novel role/tool/lang in an ingest batch usually means an
+    upstream schema or encoder change; n_distinct equality can miss it when
+    a value is simultaneously dropped).
+
+    Plan: both sides melt map-side to (column, value) and pre-aggregate
+    (exchange carries one row per distinct value per side), then an
+    O(distinct) left-anti join target-vs-source. Output: (column, value,
+    n_rows) for each novel value, with its target row count, ordered.
+    """
+    s = (
+        _melt_to_column_value(source, columns)
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("column", "value")
+    )
+    t = (
+        _melt_to_column_value(target, columns)
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return t.join(s, ["column", "value"], "left_anti").orderBy(
+        "column", "value"
+    )

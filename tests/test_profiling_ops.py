@@ -698,3 +698,25 @@ def test_new_profilers_empty_input_totality(spark):
     cmp_rows = categorical_compare(empty, empty, ["a"]).collect()
     # zero-count profiles on both sides agree
     assert all(r.validation_status == "success" for r in cmp_rows)
+
+
+def test_novel_categories_detection(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        novel_categories,
+    )
+
+    src = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), (None, "y")], "c string, d string"
+    )
+    tgt = spark.createDataFrame(
+        [("a", "x"), ("NEW", "x"), ("NEW", "z"), (None, "y")],
+        "c string, d string",
+    )
+    got = {
+        (r["column"], r.value): r.n_rows
+        for r in novel_categories(src, tgt, ["c", "d"]).collect()
+    }
+    # NEW appears twice in c; z once in d; NULLs and seen values never flag
+    assert got == {("c", "NEW"): 2, ("d", "z"): 1}
+    # containment holds -> empty (src's d-values are a subset of tgt's)
+    assert novel_categories(tgt, src, ["d"]).count() == 0
