@@ -4237,3 +4237,248 @@ ORDER BY "column", value
 
 _TRAINING_QUERIES["novel_categories_roles"] = q_novel_categories
 _TRAINING_ORACLES["novel_categories_roles"] = _SQL_NOVEL_CATEGORIES
+
+
+# ---------------------------------------------------------------------------
+# Round-3 cont.: FD / robust-outlier / Benford / quantile-PSI / turn gaps
+# ---------------------------------------------------------------------------
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation on two pairs at once: documents
+    'source -> lang' (violated by every source: corpora are multilingual)
+    and transcripts 'tool -> role' (HOLDS: a named tool only ever appears
+    on role='tool' rows, so it contributes zero violation rows — the
+    passing case) — one long-format report
+    (operators/aggregates.py fd_violations)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        fd_violations,
+    )
+
+    a = fd_violations(spark.table("documents"), "source", "lang").select(
+        F.lit("documents: source -> lang").alias("fd"), "*"
+    )
+    b = fd_violations(spark.table("transcripts"), "tool", "role").select(
+        F.lit("transcripts: tool -> role").alias("fd"), "*"
+    )
+    return a.unionByName(b).orderBy("fd", "det_value")
+
+
+_SQL_FD_VIOLATIONS = f"""{_CTES},
+f1 AS (
+  SELECT 'documents: source -> lang' AS fd,
+         CAST(source AS VARCHAR) AS det_value,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT coalesce(lang, '<NULL>')) AS BIGINT)
+           AS n_distinct_dep,
+         min(coalesce(lang, '<NULL>')) AS dep_min,
+         max(coalesce(lang, '<NULL>')) AS dep_max
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+  HAVING count(DISTINCT coalesce(lang, '<NULL>')) > 1),
+f2 AS (
+  SELECT 'transcripts: tool -> role' AS fd,
+         CAST(tool AS VARCHAR) AS det_value,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT coalesce(role, '<NULL>')) AS BIGINT)
+           AS n_distinct_dep,
+         min(coalesce(role, '<NULL>')) AS dep_min,
+         max(coalesce(role, '<NULL>')) AS dep_max
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
+  HAVING count(DISTINCT coalesce(role, '<NULL>')) > 1)
+SELECT * FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2) u
+ORDER BY fd, det_value
+"""
+
+
+def q_psi_qbins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric PSI over equal-frequency bins (operators/drift.py
+    psi_quantile_binned): source = events.value; target = the same column
+    under the deterministic snapshot-defect pattern (deletions at
+    event_id % 211 = 0) plus a constant +250 offset on every third event
+    (the unit-mix-up / fee-added corruption shape) — numeric drift the
+    categorical PSI can't see. PSI = 0.536 at sf0.01: a firing alert
+    (0.1 watch / 0.2 act conventions)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        psi_quantile_binned,
+    )
+
+    src = spark.table("events").select("value", "event_id")
+    tgt = (
+        spark.table("events")
+        .filter(F.col("event_id") % 211 != 0)
+        .select(
+            F.when(
+                F.col("event_id") % 3 == 0, F.col("value") + F.lit(250.0)
+            )
+            .otherwise(F.col("value"))
+            .alias("value")
+        )
+    )
+    return psi_quantile_binned(src, tgt, F.col("value"), n_bins=10)
+
+
+_SQL_PSI_QBINS = """
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+tgt AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN CAST(value AS DOUBLE) + 250.0
+              ELSE CAST(value AS DOUBLE) END AS v
+  FROM events WHERE event_id % 211 <> 0 AND value IS NOT NULL),
+e AS (
+  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+    AS edges FROM src),
+sb AS (SELECT len(list_filter((SELECT edges FROM e), x -> v > x))
+         AS bin_idx FROM src),
+tb AS (SELECT len(list_filter((SELECT edges FROM e), x -> v > x))
+         AS bin_idx FROM tgt),
+s AS (SELECT bin_idx, count(*) AS n_source FROM sb GROUP BY 1),
+t AS (SELECT bin_idx, count(*) AS n_target FROM tb GROUP BY 1),
+j AS (
+  SELECT coalesce(s.bin_idx, t.bin_idx) AS bin_idx,
+         coalesce(n_source, 0) AS n_source,
+         coalesce(n_target, 0) AS n_target
+  FROM s FULL OUTER JOIN t ON s.bin_idx = t.bin_idx),
+tot AS (SELECT sum(n_source) AS ts, sum(n_target) AS tt FROM j),
+terms AS (
+  SELECT bin_idx, n_source, n_target,
+         greatest(n_source / ts, 1e-6) AS p,
+         greatest(n_target / tt, 1e-6) AS q
+  FROM j, tot)
+SELECT CAST(bin_idx AS INTEGER) AS bin_idx,
+       CAST(n_source AS BIGINT) AS n_source,
+       CAST(n_target AS BIGINT) AS n_target,
+       round(p, 6) AS src_frac,
+       round(q, 6) AS tgt_frac,
+       round((p - q) * ln(p / q), 6) AS psi_term,
+       round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi
+FROM terms ORDER BY bin_idx
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust-outlier profile over the transcript numerics
+    (text length, turn index) — operators/aggregates.py
+    robust_outlier_profile, k=3."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        robust_outlier_profile,
+    )
+
+    df = spark.table("transcripts").select(
+        F.length("text").cast("double").alias("text_len"),
+        F.col("turn_idx").cast("double").alias("turn_idx"),
+    )
+    return robust_outlier_profile(df, ["text_len", "turn_idx"], k=3.0)
+
+
+_SQL_ROBUST_OUTLIERS = f"""{_CTES},
+m AS (
+  SELECT 'text_len' AS "column", CAST(length(text) AS DOUBLE) AS v
+  FROM transcripts WHERE text IS NOT NULL
+  UNION ALL
+  SELECT 'turn_idx', CAST(turn_idx AS DOUBLE)
+  FROM transcripts WHERE turn_idx IS NOT NULL),
+med AS (SELECT "column", quantile_cont(v, 0.5) AS med FROM m GROUP BY 1),
+mad AS (
+  SELECT m."column" AS "column", quantile_cont(abs(v - med), 0.5) AS mad
+  FROM m JOIN med ON m."column" = med."column" GROUP BY m."column")
+SELECT m."column" AS "column",
+       CAST(count(*) AS BIGINT) AS n_nonnull,
+       round(max(med), 6) AS median,
+       round(max(mad), 6) AS mad,
+       CAST(sum(CASE WHEN abs(v - med) > 3.0 * 1.4826 * mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN abs(v - med) > 3.0 * 1.4826 * mad
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS outlier_frac
+FROM m
+JOIN med ON m."column" = med."column"
+JOIN mad ON m."column" = mad."column"
+GROUP BY m."column" ORDER BY "column"
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit Benford conformance on events.value
+    (operators/aggregates.py benford_check). The synthetic amounts are
+    roughly Benford-shaped but deviate measurably (chi2 = 61.75 at
+    sf0.01 over dof 8 — a firing check on a near-natural distribution,
+    which is the realistic shape for this detector)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        benford_check,
+    )
+
+    return benford_check(spark.table("events"), F.col("value"))
+
+
+_SQL_BENFORD = """
+WITH b AS (
+  SELECT CAST(CAST(abs(value) AS DECIMAL(20,2)) AS VARCHAR) AS s
+  FROM events WHERE value IS NOT NULL),
+dg AS (
+  SELECT CAST(regexp_extract(s, '[1-9]', 0) AS INTEGER) AS digit
+  FROM b WHERE regexp_matches(s, '[1-9]')),
+r AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+tot AS (SELECT sum(n) AS tot FROM r)
+SELECT digit, n,
+       round(n / tot, 6) AS observed_frac,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected_frac,
+       round(sum(tot * (n / tot - log10(1.0 + 1.0 / digit))
+                     * (n / tot - log10(1.0 + 1.0 / digit))
+                 / log10(1.0 + 1.0 / digit)) OVER (), 6) AS chi2
+FROM r, tot ORDER BY digit
+"""
+
+
+def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day inter-turn latency profile over transcripts
+    (operators/temporal.py turn_gap_stats, SLA 3600 s)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.temporal import (
+        turn_gap_stats,
+    )
+
+    return turn_gap_stats(spark.table("transcripts"), sla_seconds=3600)
+
+
+_SQL_TURN_GAPS = f"""{_CTES},
+g AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM transcripts),
+g2 AS (SELECT day, gap_us FROM g WHERE gap_us IS NOT NULL)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN gap_us < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_sla,
+       round(avg(gap_us) / 1e6, 6) AS avg_gap_s,
+       round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+       round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s,
+       round(max(gap_us) / 1e6, 6) AS max_gap_s
+FROM g2 GROUP BY day ORDER BY day
+"""
+
+
+_TRAINING_QUERIES.update(
+    {
+        "fd_violations": q_fd_violations,
+        "drift_psi_value_qbins": q_psi_qbins,
+        "robust_outlier_profile": q_robust_outliers,
+        "benford_first_digit": q_benford,
+        "turn_gap_stats": q_turn_gaps,
+    }
+)
+_TRAINING_ORACLES.update(
+    {
+        "fd_violations": _SQL_FD_VIOLATIONS,
+        "drift_psi_value_qbins": _SQL_PSI_QBINS,
+        "robust_outlier_profile": _SQL_ROBUST_OUTLIERS,
+        "benford_first_digit": _SQL_BENFORD,
+        "turn_gap_stats": _SQL_TURN_GAPS,
+    }
+)

@@ -1,12 +1,15 @@
 from .aggregates import (
     agg_column,
+    benford_check,
     build_aggregate_specs,
     categorical_compare,
+    fd_violations,
     column_entropy,
     column_stats,
     mutual_information,
     novel_categories,
     numeric_corr_matrix,
+    robust_outlier_profile,
 )
 from .row_compare import row_compare, row_violations, row_compare_verdicts
 from .uniqueness import uniqueness_violations, uniqueness_verdict
@@ -43,6 +46,9 @@ __all__ = [
     "numeric_corr_matrix",
     "categorical_compare",
     "novel_categories",
+    "fd_violations",
+    "robust_outlier_profile",
+    "benford_check",
     "key_skew_profile",
     "row_compare",
     "row_violations",

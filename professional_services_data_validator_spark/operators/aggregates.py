@@ -911,3 +911,169 @@ def novel_categories(
     return t.join(s, ["column", "value"], "left_anti").orderBy(
         "column", "value"
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: str,
+    dependent: str,
+    null_token: str = "<NULL>",
+) -> DataFrame:
+    """Functional-dependency check: determinant values for which the
+    dependent column is NOT constant — "does A determine B" (candidate-key /
+    denormalization-consistency validation; the single-table cousin of the
+    reference's grouped validations, and what a uniqueness check on (A, B)
+    cannot answer because it counts pairs, not conflicts per A).
+
+    A NULL dependent is a real conflicting value (a key mapping to both
+    'x' and NULL violates the dependency), so it participates as
+    ``null_token``; rows with a NULL determinant are excluded (no key to
+    hold the dependency on).
+
+    ONE groupBy(determinant) with a count-distinct: Spark plans the
+    distinct via Expand + two-phase hash aggregate — map-side partial
+    dedup means the exchange carries one row per live (det, dep) pair,
+    never O(rows). Output, one row per violating determinant value:
+      (det_value, n_rows, n_distinct_dep, dep_min, dep_max)
+    dep_min/dep_max bound the conflict set for forensics without
+    collecting it.
+    """
+    dep = F.coalesce(F.col(dependent).cast("string"), F.lit(null_token))
+    return (
+        df.filter(F.col(determinant).isNotNull())
+        .groupBy(F.col(determinant).cast("string").alias("det_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(dep).alias("n_distinct_dep"),
+            F.min(dep).alias("dep_min"),
+            F.max(dep).alias("dep_max"),
+        )
+        .filter(F.col("n_distinct_dep") > 1)
+        .orderBy("det_value")
+    )
+
+
+def _melt_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Map-side melt of numeric columns to (column, v double), NULLs
+    dropped — the numeric twin of _melt_to_column_value."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("v"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("cv")
+        )
+        .select("cv.column", "cv.v")
+        .filter(F.col("v").isNotNull())
+    )
+
+
+def robust_outlier_profile(
+    df: DataFrame, columns: list[str], k: float = 5.0
+) -> DataFrame:
+    """Median/MAD robust-outlier profile per numeric column: the
+    mean/stddev z-score family (numeric_profile, metric_anomalies) breaks
+    down exactly when outliers are present — the outliers inflate the
+    stddev that is supposed to flag them. Median and MAD (median absolute
+    deviation) have a 50% breakdown point; a value is flagged when
+    |x - median| > k * 1.4826 * MAD (1.4826 scales MAD to sigma-equivalent
+    under normality; k=5 is a conservative production gate).
+
+    Three exact-percentile aggregate passes over the map-side melt
+    (median -> MAD -> flag counts), each reduced per column and broadcast
+    back — nothing row-scale crosses an exchange twice in the same pass,
+    and the two joins are broadcasts of O(n_columns) rows. Exact
+    ``percentile`` keeps the DuckDB oracle (``quantile_cont``/``median``,
+    same interpolation) cell-identical; at 100 TB swap approx_percentile
+    into the same shape (documented divergence, identical schema).
+
+    Output per column:
+      (column, n_nonnull, median 6dp, mad 6dp, n_outliers, outlier_frac 6dp)
+    """
+    m = _melt_numeric(df, columns)
+    med = m.groupBy("column").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    m2 = m.join(F.broadcast(med), "column")
+    mad = m2.groupBy("column").agg(
+        F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    m3 = m2.join(F.broadcast(mad), "column")
+    is_out = (
+        F.abs(F.col("v") - F.col("med"))
+        > F.lit(k) * F.lit(1.4826) * F.col("mad")
+    ).cast("long")
+    return (
+        m3.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_nonnull"),
+            F.round(F.max("med"), 6).alias("median"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(is_out).alias("n_outliers"),
+            F.round(F.sum(is_out) / F.count(F.lit(1)), 6).alias(
+                "outlier_frac"
+            ),
+        )
+        .orderBy("column")
+    )
+
+
+def benford_check(df: DataFrame, value_col: Column) -> DataFrame:
+    """First-significant-digit (Benford) conformance check on a positive
+    numeric column — the classic fabricated/corrupted-batch detector for
+    organically-grown magnitudes (amounts, durations, sizes): natural
+    multi-decade data follows P(d) = log10(1 + 1/d); truncation, unit
+    mix-ups, or synthetic fill shift the digit histogram sharply.
+
+    The digit is extracted ENGINE-PORTABLY: the value is cast to
+    DECIMAL(20, 2) (exact decimal printing — never the double's
+    binary-float repr, whose textual form differs across engines near
+    power-of-10 boundaries) and the first [1-9] of that string is the
+    first significant digit. Rows with NULL or |value| < 0.005 (no
+    significant digit at 2 decimals) are excluded.
+
+    Plan: map-only digit projection -> ONE 9-key groupBy (map-side
+    combined; the exchange carries <= 9 rows per task) -> broadcast total.
+    chi2 = N * sum (obs_frac - exp_frac)^2 / exp_frac over OBSERVED digits
+    (every digit is observed on any non-degenerate sample; an absent digit
+    simply contributes no term, identically in the oracle).
+
+    Output, one row per observed digit 1..9:
+      (digit, n, observed_frac 6dp, expected_frac 6dp, chi2 6dp)
+    ``chi2`` is the statistic over all digits, repeated per row.
+    """
+    from pyspark.sql import Window
+
+    s = F.abs(value_col).cast("decimal(20,2)").cast("string")
+    digit = F.regexp_extract(s, "[1-9]", 0)
+    rows = (
+        df.select(digit.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy(F.col("d").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = rows.agg(F.sum("n").alias("tot"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n") / F.col("tot")
+    term = F.col("tot") * (obs - expected) * (obs - expected) / expected
+    w = Window.partitionBy(F.lit(1))
+    return (
+        rows.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_frac"),
+            F.round(expected, 6).alias("expected_frac"),
+            F.round(F.sum(term).over(w), 6).alias("chi2"),
+        )
+        .orderBy("digit")
+    )

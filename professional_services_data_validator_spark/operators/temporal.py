@@ -272,3 +272,81 @@ def calendar_completeness(
         return missing.localCheckpoint(eager=True)
     finally:
         observed.unpersist()
+
+
+def turn_gap_stats(
+    df,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    day_col: str | None = None,
+    sla_seconds: int = 3600,
+):
+    """Inter-turn latency profile: per-day statistics of the time gap
+    between consecutive turns WITHIN a conversation — the ingestion-health
+    twin of conversation_checks' boolean ts_monotonic flag (that check says
+    "never decreases"; this one says HOW the cadence is distributed, so SLA
+    regressions and clock skew show up as numbers, not just violations).
+
+    Adjacent pairs come from the same lag-free self-join trick as
+    conversation_checks: the table joins to itself on
+    (key, order+1) — co-partitioned on the conversation key, so with the
+    transcript table bucketed by conv_id it is shuffle-free at 100 TB, and
+    no per-conversation window sort runs anywhere. Gaps are attributed to
+    the day of the LATER turn.
+
+    Output per day (ordered):
+      (day, n_gaps, n_negative, n_over_sla, avg_gap_s 6dp,
+       p50_gap_s 6dp, p90_gap_s 6dp, max_gap_s 6dp) — all gap columns in
+    seconds, computed from exact integer microseconds
+    n_negative > 0 means out-of-order timestamps under the stable turn
+    ordering (clock skew / replayed events); exact percentiles keep the
+    DuckDB oracle cell-identical (approx_percentile is the 100-TB swap).
+    """
+    from pyspark.sql import functions as F
+
+    prev = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("i"),
+        F.col(ts_col).alias("ts_prev"),
+    )
+    nxt = df.select(
+        F.col(key_col).alias("k"),
+        (F.col(order_col) - 1).alias("i"),
+        F.col(ts_col).alias("ts_next"),
+    )
+    pairs = prev.join(nxt, ["k", "i"])
+    # exact integer microseconds: truncating each timestamp to seconds
+    # first would shift individual gaps by up to 1s (engine-dependent
+    # rounding); integer micros are engine-exact, seconds are derived
+    # once at the end (us / 1e6, both engines the same double division).
+    # NTZ timestamps cast through TIMESTAMP under the engine's forced-UTC
+    # session (session.py), so the cast is value-preserving.
+    gap = (
+        F.unix_micros(F.col("ts_next").cast("timestamp"))
+        - F.unix_micros(F.col("ts_prev").cast("timestamp"))
+    ).alias("gap_us")
+    day = F.date_format(
+        "ts_next" if day_col is None else day_col, "yyyy-MM-dd"
+    ).alias("day")
+    us = F.lit(1e6)
+    return (
+        pairs.select(day, gap)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum((F.col("gap_us") < 0).cast("long")).alias("n_negative"),
+            F.sum(
+                (F.col("gap_us") > sla_seconds * 1_000_000).cast("long")
+            ).alias("n_over_sla"),
+            F.round(F.avg("gap_us") / us, 6).alias("avg_gap_s"),
+            F.round(F.percentile("gap_us", F.lit(0.5)) / us, 6).alias(
+                "p50_gap_s"
+            ),
+            F.round(F.percentile("gap_us", F.lit(0.9)) / us, 6).alias(
+                "p90_gap_s"
+            ),
+            F.round(F.max("gap_us") / us, 6).alias("max_gap_s"),
+        )
+        .orderBy("day")
+    )

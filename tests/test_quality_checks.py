@@ -1,0 +1,152 @@
+"""Round-3 cont.: FD check, robust outliers, Benford, quantile-bin PSI,
+inter-turn gap profile — closed-form assertions on literal frames."""
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from professional_services_data_validator_spark.operators.aggregates import (
+    benford_check,
+    fd_violations,
+    robust_outlier_profile,
+)
+from professional_services_data_validator_spark.operators.drift import (
+    psi_quantile_binned,
+)
+from professional_services_data_validator_spark.operators.temporal import (
+    turn_gap_stats,
+)
+
+
+def test_fd_violations_conflicts_and_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "x"),
+            ("a", "x"),  # constant dependent: holds
+            ("b", "x"),
+            ("b", "y"),  # two values: violated
+            ("c", None),
+            ("c", "z"),  # NULL vs value: violated (NULL is a real conflict)
+            (None, "q"),  # NULL determinant: excluded
+        ],
+        "det string, dep string",
+    )
+    out = {r["det_value"]: r for r in fd_violations(df, "det", "dep").collect()}
+    assert set(out) == {"b", "c"}
+    assert out["b"]["n_rows"] == 2 and out["b"]["n_distinct_dep"] == 2
+    assert (out["b"]["dep_min"], out["b"]["dep_max"]) == ("x", "y")
+    assert out["c"]["n_distinct_dep"] == 2
+    assert out["c"]["dep_min"] == "<NULL>" and out["c"]["dep_max"] == "z"
+
+
+def test_fd_violations_holds_everywhere_is_empty(spark):
+    df = spark.createDataFrame(
+        [("k1", "v"), ("k1", "v"), ("k2", "w")], "det string, dep string"
+    )
+    assert fd_violations(df, "det", "dep").count() == 0
+
+
+def test_robust_outlier_profile_known_mad(spark):
+    # v = [1,2,3,4,100]: median 3, |dev| = [2,1,0,1,97], MAD = 1
+    # k=3 -> cut = 3 * 1.4826 * 1 = 4.4478 -> only 97 exceeds
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (100.0,)], "v double"
+    )
+    r = robust_outlier_profile(df, ["v"], k=3.0).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["column"] == "v"
+    assert row["n_nonnull"] == 5
+    assert row["median"] == 3.0
+    assert row["mad"] == 1.0
+    assert row["n_outliers"] == 1
+    assert abs(row["outlier_frac"] - 0.2) < 1e-9
+
+
+def test_robust_outlier_profile_constant_column(spark):
+    # constant column: MAD 0 -> nothing exceeds (0 > 0 is false)
+    df = spark.createDataFrame([(7.0,), (7.0,), (7.0,)], "v double")
+    row = robust_outlier_profile(df, ["v"], k=3.0).collect()[0]
+    assert row["mad"] == 0.0 and row["n_outliers"] == 0
+
+
+def test_benford_check_known_digits(spark):
+    # digits: 1.0->1, 1.5->1, 19.0->1, 2.2->2, 0.25->2;
+    # 0.004 -> DECIMAL(20,2) "0.00" (no significant digit) and NULL excluded
+    df = spark.createDataFrame(
+        [(1.0,), (1.5,), (19.0,), (2.2,), (0.004,), (None,), (0.25,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in benford_check(df, F.col("v")).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n"] == 3 and rows[2]["n"] == 2
+    assert abs(rows[1]["observed_frac"] - 0.6) < 1e-9
+    e1, e2 = math.log10(2.0), math.log10(1.5)
+    assert abs(rows[1]["expected_frac"] - round(e1, 6)) < 1e-9
+    chi2 = 5 * ((0.6 - e1) ** 2 / e1 + (0.4 - e2) ** 2 / e2)
+    assert abs(rows[1]["chi2"] - chi2) < 1e-4
+    # the total is repeated on every row
+    assert rows[1]["chi2"] == rows[2]["chi2"]
+
+
+def test_psi_quantile_binned_identical_is_zero(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = psi_quantile_binned(df, df, F.col("v"), n_bins=10).collect()
+    assert len(out) == 10
+    # equal-frequency property: every source bin holds exactly 10 of 100
+    assert all(r["n_source"] == 10 for r in out)
+    assert all(abs(r["psi"]) < 1e-9 for r in out)
+
+
+def test_psi_quantile_binned_shift_detected(spark):
+    src = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    tgt = src.select((F.col("v") + 50.0).alias("v"))
+    out = psi_quantile_binned(src, tgt, F.col("v"), n_bins=10).collect()
+    psi = out[0]["psi"]
+    assert psi > 0.5  # half the mass left the source's bin support
+    # target mass beyond the last edge piles into the top bin
+    top = [r for r in out if r["bin_idx"] == 9][0]
+    assert top["n_target"] > top["n_source"]
+
+
+def test_turn_gap_stats_known_gaps(spark):
+    d = datetime
+    df = spark.createDataFrame(
+        [
+            # c1: +5s, then -65s (out of order under stable turn order)
+            ("c1", 0, d(2024, 1, 1, 10, 0, 0)),
+            ("c1", 1, d(2024, 1, 1, 10, 0, 5)),
+            ("c1", 2, d(2024, 1, 1, 9, 59, 0)),
+            # c2: one gap of 7200s (over the 3600s SLA)
+            ("c2", 0, d(2024, 1, 1, 11, 0, 0)),
+            ("c2", 1, d(2024, 1, 1, 13, 0, 0)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    rows = turn_gap_stats(df, sla_seconds=3600).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["day"] == "2024-01-01"
+    assert r["n_gaps"] == 3
+    assert r["n_negative"] == 1
+    assert r["n_over_sla"] == 1
+    # gaps = [5, -65, 7200]: median 5, avg 2380
+    assert r["p50_gap_s"] == 5.0
+    assert abs(r["avg_gap_s"] - 2380.0) < 1e-6
+    assert r["max_gap_s"] == 7200.0
+
+
+def test_turn_gap_stats_day_of_later_turn(spark):
+    d = datetime
+    df = spark.createDataFrame(
+        [
+            # gap crosses midnight: attributed to Jan 2 (the later turn)
+            ("c1", 0, d(2024, 1, 1, 23, 59, 0)),
+            ("c1", 1, d(2024, 1, 2, 0, 1, 0)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    rows = turn_gap_stats(df).collect()
+    assert len(rows) == 1 and rows[0]["day"] == "2024-01-02"
+    assert rows[0]["n_gaps"] == 1 and rows[0]["max_gap_s"] == 120.0
