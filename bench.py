@@ -76,6 +76,11 @@ TRAINING_BENCH = [
     "categorical_compare_roles",
     "missing_days_by_role",
     "novel_categories_roles",
+    "fd_violations",
+    "drift_psi_value_qbins",
+    "robust_outlier_profile",
+    "benford_first_digit",
+    "turn_gap_stats",
 ]
 
 

@@ -1042,7 +1042,8 @@ def benford_check(df: DataFrame, value_col: Column) -> DataFrame:
     significant digit at 2 decimals) are excluded.
 
     Plan: map-only digit projection -> ONE 9-key groupBy (map-side
-    combined; the exchange carries <= 9 rows per task) -> broadcast total.
+    combined; the exchange carries <= 9 rows per task) -> window total
+    over the 9-row frame (ONE input scan total).
     chi2 = N * sum (obs_frac - exp_frac)^2 / exp_frac over OBSERVED digits
     (every digit is observed on any non-degenerate sample; an absent digit
     simply contributes no term, identically in the oracle).
@@ -1061,14 +1062,17 @@ def benford_check(df: DataFrame, value_col: Column) -> DataFrame:
         .groupBy(F.col("d").cast("int").alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = rows.agg(F.sum("n").alias("tot"))
+    # total as a window sum over the 9-row frame — an agg + crossJoin
+    # would re-execute the histogram subtree and scan the input twice.
+    w = Window.partitionBy(F.lit(1))
+    with_tot = rows.select(
+        "digit", "n", F.sum("n").over(w).alias("tot")
+    )
     expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     obs = F.col("n") / F.col("tot")
     term = F.col("tot") * (obs - expected) * (obs - expected) / expected
-    w = Window.partitionBy(F.lit(1))
     return (
-        rows.crossJoin(F.broadcast(total))
-        .select(
+        with_tot.select(
             "digit",
             "n",
             F.round(obs, 6).alias("observed_frac"),

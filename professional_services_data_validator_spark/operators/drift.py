@@ -459,16 +459,23 @@ def psi_quantile_binned(
     joined = s.join(t, "bin_idx", "full_outer").fillna(
         0, ["n_source", "n_target"]
     )
-    totals = joined.agg(
-        F.sum("n_source").alias("tot_s"), F.sum("n_target").alias("tot_t")
+    # totals as window sums over the n_bins-row frame — NOT an agg +
+    # crossJoin, which would duplicate (re-execute) each side's count
+    # subtree and scan both inputs twice for a 10-row result. The
+    # single-partition windows are O(n_bins).
+    w = Window.partitionBy(F.lit(1))
+    with_tot = joined.select(
+        "bin_idx",
+        "n_source",
+        "n_target",
+        F.sum("n_source").over(w).alias("tot_s"),
+        F.sum("n_target").over(w).alias("tot_t"),
     )
     p = F.greatest(F.col("n_source") / F.col("tot_s"), F.lit(eps))
     q = F.greatest(F.col("n_target") / F.col("tot_t"), F.lit(eps))
     term = (p - q) * F.log(p / q)
-    w = Window.partitionBy(F.lit(1))
     return (
-        joined.crossJoin(F.broadcast(totals))
-        .select(
+        with_tot.select(
             "bin_idx",
             "n_source",
             "n_target",

@@ -400,6 +400,52 @@ NOTES = {
         "the anti-join runs over O(days) vs O(days). A year of a "
         "10^12-turn table costs one scan + a 365-row-per-group join."
     ),
+    "fd_violations": (
+        "Functional-dependency check: ONE groupBy(determinant) with "
+        "count(DISTINCT dependent) — Spark plans it as Expand + two-phase "
+        "hash aggregate, so the exchange carries one row per live "
+        "(det, dep) PAIR (map-side partial dedup), never O(rows). The "
+        "HAVING is a post-agg filter over O(distinct determinants). Two "
+        "tables' checks union AFTER their aggregates: O(keys) rows meet."
+    ),
+    "drift_psi_value_qbins": (
+        "Equal-frequency numeric PSI: the edges aggregate collects 9 "
+        "doubles (never rows); bin assignment is a literal-array "
+        "aggregate() fold inside the scan's codegen stage (map-only); "
+        "each side's groupBy(bin) partial-aggregates map-side so the "
+        "exchanges carry <= 10 rows per task; totals/psi are window sums "
+        "over the 10-row joined frame (no subtree-duplicating crossJoin). "
+        "The source is scanned twice (edges + counts) and the target "
+        "once; at 100 TB reuse a materialized profile or "
+        "approx_percentile on a sample for the edges."
+    ),
+    "robust_outlier_profile": (
+        "Median/MAD profile: three aggregate passes over the map-side "
+        "melt (median -> MAD -> flag counts); each pass exchanges only "
+        "per-column exact-percentile state, and the med/mad frames "
+        "(O(columns) rows) broadcast back — BroadcastHashJoin, no "
+        "row-scale shuffle anywhere. Exact percentile buffers per-group "
+        "values (documented numeric_profile caveat); approx_percentile "
+        "is the drop-in at extreme cardinality."
+    ),
+    "benford_first_digit": (
+        "Benford digit histogram: decimal-cast + regexp digit projection "
+        "is map-only inside whole-stage codegen; the 9-key groupBy "
+        "partial-aggregates map-side (exchange <= 9 rows per task); the "
+        "total and chi2 are window sums over the 9-row frame (an agg + "
+        "crossJoin would re-execute the subtree and scan twice). "
+        "One O(rows) scan, O(1) everything after."
+    ),
+    "turn_gap_stats": (
+        "Inter-turn gaps: the (conv_id, turn_idx+1) self-join has "
+        "HashPartitioning(conv_id) satisfying the join's required "
+        "distribution, so bucketed-by-conv_id storage joins with ZERO "
+        "exchanges (same property conversation_checks proves in pytest); "
+        "unbucketed, it is one hash shuffle per side carrying "
+        "(conv_id, idx, ts) only. Gap stats then groupBy(day) — "
+        "partial-agg map-side except the exact percentiles, which buffer "
+        "per-day gap lists (30 days here; approx_percentile at scale)."
+    ),
 }
 
 
