@@ -49,14 +49,17 @@ def ks_statistic(
     t = _counts_by_value(target, value_col, "t")
     joined = s.join(t, "v", "full_outer").fillna(0, ["n_s", "n_t"])
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # totals as whole-frame window sums in the same pass as the cumsums —
+    # an agg + crossJoin would duplicate the count subtree in the plan
+    # and re-aggregate both inputs twice (same fix as psi/chi2/jsd).
+    wt = Window.partitionBy()
     cum = joined.select(
         F.sum("n_s").over(w).alias("c_s"),
         F.sum("n_t").over(w).alias("c_t"),
+        F.sum("n_s").over(wt).alias("tot_s"),
+        F.sum("n_t").over(wt).alias("tot_t"),
     )
-    totals = joined.agg(
-        F.sum("n_s").alias("tot_s"), F.sum("n_t").alias("tot_t")
-    )
-    return cum.crossJoin(F.broadcast(totals)).agg(
+    return cum.agg(
         F.max(
             F.abs(
                 F.col("c_s") / F.col("tot_s") - F.col("c_t") / F.col("tot_t")
@@ -116,17 +119,23 @@ def psi(
 
     PSI = sum_c (p_c - q_c) * ln(p_c / q_c), with epsilon-floored
     proportions so absent categories don't produce ln(0). Pure
-    two-shuffle aggregation; output one row (psi double).
+    two-shuffle aggregation — totals are window sums over the k-row
+    joined frame, so each input is aggregated exactly once; output one
+    row (psi double).
     """
     s = _counts_by_value(source, category_col, "s")
     t = _counts_by_value(target, category_col, "t")
     joined = s.join(t, "v", "full_outer").fillna(0, ["n_s", "n_t"])
-    totals = joined.agg(
-        F.sum("n_s").alias("tot_s"), F.sum("n_t").alias("tot_t")
-    )
-    with_p = joined.crossJoin(F.broadcast(totals)).select(
-        F.greatest(F.col("n_s") / F.col("tot_s"), F.lit(eps)).alias("p"),
-        F.greatest(F.col("n_t") / F.col("tot_t"), F.lit(eps)).alias("q"),
+    # totals as window sums over the k-category frame (an agg + crossJoin
+    # duplicates the count subtree: both inputs would aggregate twice)
+    wt = Window.partitionBy()
+    with_p = joined.select(
+        F.greatest(
+            F.col("n_s") / F.sum("n_s").over(wt), F.lit(eps)
+        ).alias("p"),
+        F.greatest(
+            F.col("n_t") / F.sum("n_t").over(wt), F.lit(eps)
+        ).alias("q"),
     )
     return with_p.agg(
         F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias(
@@ -266,8 +275,8 @@ def chi2_categorical(
     expected_{side,c} = row_total_side * col_total_c / grand_total.
 
     Same plan shape as psi(): two count aggregations, one full-outer join
-    on the category value (key space = k categories, tiny), broadcast
-    totals. Categories absent from both sides contribute nothing; cells
+    on the category value (key space = k categories, tiny), window
+    totals over the k-row frame. Categories absent from both sides contribute nothing; cells
     with expected = 0 cannot occur (a category is in the table only if one
     side observed it). Output one row:
     (chi2 double 6dp, dof long = k - 1, n_source, n_target).
@@ -275,18 +284,24 @@ def chi2_categorical(
     s = _counts_by_value(source, category_col, "s")
     t = _counts_by_value(target, category_col, "t")
     joined = s.join(t, "v", "full_outer").fillna(0, ["n_s", "n_t"])
-    totals = joined.agg(
-        F.sum("n_s").alias("tot_s"), F.sum("n_t").alias("tot_t")
+    # window totals over the k-cell frame, not agg + crossJoin (which
+    # would re-aggregate both inputs twice for a k-row table)
+    wt = Window.partitionBy()
+    with_tot = joined.select(
+        "n_s",
+        "n_t",
+        F.sum("n_s").over(wt).alias("tot_s_l"),
+        F.sum("n_t").over(wt).alias("tot_t_l"),
     )
-    cells = joined.crossJoin(F.broadcast(totals)).select(
+    cells = with_tot.select(
         F.col("n_s").cast("double").alias("o_s"),
         F.col("n_t").cast("double").alias("o_t"),
         (
             (F.col("n_s") + F.col("n_t")).cast("double")
-            / (F.col("tot_s") + F.col("tot_t")).cast("double")
+            / (F.col("tot_s_l") + F.col("tot_t_l")).cast("double")
         ).alias("p_col"),
-        F.col("tot_s").cast("double").alias("tot_s"),
-        F.col("tot_t").cast("double").alias("tot_t"),
+        F.col("tot_s_l").cast("double").alias("tot_s"),
+        F.col("tot_t_l").cast("double").alias("tot_t"),
     )
     contrib = (
         F.pow(F.col("o_s") - F.col("tot_s") * F.col("p_col"), 2)
@@ -377,24 +392,26 @@ def jensen_shannon(
 
     Same plan shape as chi2_categorical: two count aggregations, one
     full-outer join on the category value (key space = k categories),
-    broadcast totals, one final fold. Output one row:
+    window totals over the k-row frame, one final fold. Output one row:
     (jsd double 6dp, n_source, n_target).
     """
     s = _counts_by_value(source, category_col, "s")
     t = _counts_by_value(target, category_col, "t")
     joined = s.join(t, "v", "full_outer").fillna(0, ["n_s", "n_t"])
-    totals = joined.agg(
-        F.sum("n_s").alias("tot_s"), F.sum("n_t").alias("tot_t")
-    )
-    cells = joined.crossJoin(F.broadcast(totals)).select(
-        (F.col("n_s") / F.col("tot_s")).alias("p"),
-        (F.col("n_t") / F.col("tot_t")).alias("q"),
+    # window totals over the k-category frame; the previous DOUBLE
+    # crossJoin(broadcast(totals)) executed the count subtree three times
+    wt = Window.partitionBy()
+    cells = joined.select(
+        (F.col("n_s") / F.sum("n_s").over(wt)).alias("p"),
+        (F.col("n_t") / F.sum("n_t").over(wt)).alias("q"),
+        F.sum("n_s").over(wt).alias("tot_s"),
+        F.sum("n_t").over(wt).alias("tot_t"),
     )
     m = (F.col("p") + F.col("q")) / F.lit(2.0)
     kl_term = lambda x: F.when(  # noqa: E731 - local expression factory
         x > 0, x * F.log(x / m)
     ).otherwise(F.lit(0.0))
-    return cells.crossJoin(F.broadcast(totals)).agg(
+    return cells.agg(
         F.round(
             F.lit(0.5) * F.sum(kl_term(F.col("p")))
             + F.lit(0.5) * F.sum(kl_term(F.col("q"))),
