@@ -196,7 +196,12 @@ def split_balance(
     """
     s = hash_split(df, keys, weights, seed=seed)
     v = category_col
-    cat = s.groupBy("split", v.alias("v")).agg(F.count(F.lit(1)).alias("n"))
+    # cat (splits x categories rows) feeds corpus, the grid, the left
+    # join AND both totals: persisted, or every consumer would re-execute
+    # the O(rows) scan+aggregate subtree (MI's joint-persist pattern).
+    cat = s.groupBy("split", v.alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
     corpus = cat.groupBy("v").agg(F.sum("n").alias("n_c"))
     # complete the grid so categories absent from a split still contribute
     # their corpus-side JSD term
@@ -245,13 +250,20 @@ def split_balance(
                 "n_keys"
             )
         )
-    return (
-        jsd.join(nk, "split")
-        .select(
-            "split",
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.col("n_keys").cast("long").alias("n_keys"),
-            F.round(F.col("n_rows") / F.col("tot_c"), 6).alias("row_frac"),
-            "cat_jsd",
+    try:
+        out = (
+            jsd.join(nk, "split")
+            .select(
+                "split",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.round(F.col("n_rows") / F.col("tot_c"), 6).alias(
+                    "row_frac"
+                ),
+                "cat_jsd",
+            )
         )
-    )
+        # materialize the O(splits)-row report before releasing the cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        cat.unpersist()

@@ -158,14 +158,18 @@ def tfidf_top_terms(
 
     - tokenize (regex split, same tokenizer as the dedup/text family),
     - tf: groupBy(id, token) count — one shuffle of (id, token),
-    - df: groupBy(token) distinct-doc count — aggregated from tf, no second
-      scan,
-    - idf = ln(N / df) with N broadcast (single-row cross join),
+    - df: a count(*) WINDOW over Window.partitionBy(token) on the tf frame
+      (tf has exactly one row per (doc, token), so the per-token window
+      count IS the document frequency). A groupBy(token) + self-join
+      would duplicate the explode+tf subtree in the physical plan and run
+      the expensive token explode twice; the window keeps tf single-pass,
+    - idf = ln(N / df) with N from one id-column aggregate of the input
+      (single-row cross join; never re-derives the explode),
     - per-doc top-k via window rank, ties broken by token for determinism.
 
-    At 10^12 rows both aggregations are plain hash aggregates; the token
-    vocabulary (not the corpus) bounds the df side, and the final window
-    partitions by doc id — no global sort anywhere.
+    At 10^12 rows the tf aggregation is a plain hash aggregate; the df
+    window partitions by token (bounded by vocabulary per partition), and
+    the final window partitions by doc id — no global sort anywhere.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -173,16 +177,18 @@ def tfidf_top_terms(
             F.split(F.trim(F.col(text_col)), " +")
         ).alias("token"),
     ).filter(F.col("token") != "")
+    from pyspark.sql import Window
+
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )  # tf already has one row per (doc, token)
+    wt = Window.partitionBy("token")
+    with_df = tf.select(
+        "id", "token", "tf", F.count(F.lit(1)).over(wt).alias("df")
+    )
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("n_docs")
     )
     scored = (
-        tf.join(df_t, "token")
-        .crossJoin(F.broadcast(n_docs))
+        with_df.crossJoin(F.broadcast(n_docs))
         .select(
             "id",
             "token",
@@ -193,7 +199,6 @@ def tfidf_top_terms(
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy(
         F.col("tfidf").desc(), F.col("token")
