@@ -4482,3 +4482,107 @@ _TRAINING_ORACLES.update(
         "turn_gap_stats": _SQL_TURN_GAPS,
     }
 )
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over the documents corpus (min_count=5) —
+    operators/text.py bigram_pmi; ranking on 6dp-rounded pmi with the
+    pair as tie-break keeps the top-k cut engine-deterministic."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        bigram_pmi,
+    )
+
+    return bigram_pmi(spark.table("documents"), "text", min_count=5, top_k=50)
+
+
+_SQL_BIGRAM_PMI = """
+WITH toks AS (
+  SELECT string_split_regex(trim(text), ' +') AS l
+  FROM documents WHERE text IS NOT NULL),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(l) AS w FROM toks) z WHERE w <> '' GROUP BY w),
+uni_t AS (SELECT w, c, sum(c) OVER () AS n1 FROM uni),
+pairs AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM toks, unnest(range(1, len(l))) AS t(i)
+  WHERE l[i] <> '' AND l[i + 1] <> ''),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+big_f AS (
+  SELECT w1, w2, c12, sum(c12) OVER () AS n2 FROM big
+  QUALIFY c12 >= 5),
+j AS (
+  SELECT b.w1, b.w2, b.c12, b.n2, u1.c AS c1, u1.n1 AS n1, u2.c AS c2
+  FROM big_f b
+  JOIN uni_t u1 ON b.w1 = u1.w
+  JOIN uni_t u2 ON b.w2 = u2.w),
+scored AS (
+  SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+         CAST(c2 AS BIGINT) AS c2,
+         round(ln((c12 / n2) / ((c1 / n1) * (c2 / n1))), 6) AS pmi
+  FROM j),
+top AS (SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER)
+         AS rank,
+       w1, w2, c12, c1, c2, pmi
+FROM top ORDER BY rank
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the documents corpus (top 1000 ranks)
+    — operators/text.py zipf_fit."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        zipf_fit,
+    )
+
+    return zipf_fit(spark.table("documents"), "text", top_n=1000)
+
+
+_SQL_ZIPF_FIT = """
+WITH counts AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents WHERE text IS NOT NULL) z
+  WHERE w <> '' GROUP BY w),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r,
+         sum(c) OVER () AS n_tokens, count(*) OVER () AS vocab_size
+  FROM counts),
+f AS (SELECT * FROM ranked WHERE r <= 1000),
+mom AS (
+  SELECT max(n_tokens) AS n_tokens, max(vocab_size) AS vocab_size,
+         count(*) AS n_fit,
+         sum(ln(CAST(r AS DOUBLE))) AS sx,
+         sum(ln(CAST(c AS DOUBLE))) AS sy,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+         sum(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS syy
+  FROM f)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(n_fit AS BIGINT) AS n_fit,
+       round((n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx), 6)
+         AS zipf_slope,
+       round(CASE WHEN (n_fit * syy - sy * sy) > 0
+                  THEN (n_fit * sxy - sx * sy) * (n_fit * sxy - sx * sy)
+                       / ((n_fit * sxx - sx * sx) * (n_fit * syy - sy * sy))
+                  ELSE 1.0 END, 6) AS r2
+FROM mom
+"""
+
+
+_TRAINING_QUERIES.update(
+    {
+        "bigram_pmi_top": q_bigram_pmi,
+        "zipf_fit": q_zipf_fit,
+    }
+)
+_TRAINING_ORACLES.update(
+    {
+        "bigram_pmi_top": _SQL_BIGRAM_PMI,
+        "zipf_fit": _SQL_ZIPF_FIT,
+    }
+)

@@ -81,6 +81,8 @@ TRAINING_BENCH = [
     "robust_outlier_profile",
     "benford_first_digit",
     "turn_gap_stats",
+    "bigram_pmi_top",
+    "zipf_fit",
 ]
 
 

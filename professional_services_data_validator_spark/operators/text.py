@@ -9,7 +9,7 @@ engine-portable for DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic.
@@ -577,4 +577,162 @@ def normalize_text(
             "n_chars_before"
         ),
         F.length(txt).alias("n_chars_after"),
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the classic corpus-analysis pass (Church & Hanks 1990)
+    a training pipeline runs to find multi-word units and template
+    artifacts (a synthetic corpus shows up as a handful of sky-high-PMI
+    boilerplate pairs).
+
+    PMI(w1, w2) = ln( (c12 / N2) / ((c1 / N1) * (c2 / N1)) ) with c12
+    over adjacent pairs and c1/c2 over unigrams.
+
+    Spark-first: bigrams come from a MAP-ONLY arrays_zip of the token
+    array against its own 1-shifted slice (no positional self-join, no
+    window); unigram and bigram counts are two independent map-side-
+    combined aggregates whose exchanges carry one row per distinct
+    (bi)gram; corpus totals are window sums over the vocab-bounded count
+    frames (the single-aggregation discipline of the drift family); the
+    two count joins are vocabulary-sized. Ranking uses the 6dp-ROUNDED
+    pmi (then the pair as tie-break), so the top-k cut is deterministic
+    across engines regardless of last-ulp float differences.
+
+    Output, top_k rows: (rank, w1, w2, c12, c1, c2, pmi 6dp).
+    """
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    pairs = (
+        df.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy()
+    uni_t = uni.select(
+        "w", "c", F.sum("c").over(wt).alias("n1")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # N2 is the total over ALL bigrams: take the window sum BEFORE the
+    # min_count filter (and in the same pass — no second aggregate, no
+    # subtree-duplicating self-join).
+    big_f = big.select(
+        "w1", "w2", "c12", F.sum("c12").over(wt).alias("n2")
+    ).filter(F.col("c12") >= min_count)
+    joined = (
+        big_f
+        .join(
+            uni_t.select(
+                F.col("w").alias("w1"),
+                F.col("c").alias("c1"),
+                "n1",
+            ),
+            "w1",
+        )
+        .join(
+            uni_t.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("n2"))
+            / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+        ),
+        6,
+    )
+    ranked = joined.select(
+        "w1", "w2", "c12", "c1", "c2", pmi.alias("pmi")
+    ).orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return ranked.select(
+        F.row_number().over(w).alias("rank"),
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "c2",
+        "pmi",
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus token distribution —
+    natural text follows frequency ~ rank^s with s near -1; synthetic
+    fill, template expansion, or token-level corruption bend the slope
+    and crush the fit (a corpus-level text-quality signal the per-doc
+    quality_score cannot see).
+
+    One explode + vocab-bounded count aggregate; ranking is a window
+    over the O(vocab) count frame (single partition — bounded by
+    vocabulary, never rows; prefilter with a count threshold if the
+    vocab itself is extreme); the least-squares fit of
+    ln(freq) ~ ln(rank) over the top_n ranks collapses to ONE moment
+    fold (sum x / y / xy / x^2 / y^2 — the numeric_corr_matrix
+    closed form).
+
+    Output one row: (n_tokens, vocab_size, n_fit, zipf_slope 6dp,
+    r2 6dp). slope near -1.0 with r2 near 1 = Zipf-consistent.
+    """
+    counts = (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy()
+    w = Window.orderBy(F.col("c").desc(), "w")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.sum("c").over(wt).alias("n_tokens"),
+        F.count(F.lit(1)).over(wt).alias("vocab_size"),
+    ).filter(F.col("r") <= top_n)
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    mom = ranked.agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("vocab_size").alias("vocab_size"),
+        F.count(F.lit(1)).alias("n_fit"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n_fit").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        "n_tokens",
+        "vocab_size",
+        "n_fit",
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(
+                F.lit(1.0)
+            ),
+            6,
+        ).alias("r2"),
     )

@@ -446,6 +446,22 @@ NOTES = {
         "partial-agg map-side except the exact percentiles, which buffer "
         "per-day gap lists (30 days here; approx_percentile at scale)."
     ),
+    "bigram_pmi_top": (
+        "PMI collocations: bigrams from a MAP-ONLY arrays_zip of the "
+        "token array against its own 1-shifted slice — no positional "
+        "self-join, no window over rows. Unigram and bigram counts are "
+        "two map-side-combined aggregates (exchanges carry one row per "
+        "distinct gram); totals are window sums over the vocab-bounded "
+        "count frames; the two enrichment joins are vocabulary-sized. "
+        "Ranking on 6dp-rounded pmi makes the top-k cut deterministic."
+    ),
+    "zipf_fit": (
+        "Zipf fit: one explode + vocab-bounded count aggregate; the "
+        "rank window sorts the O(vocab) frame (single partition, "
+        "bounded by vocabulary, never rows); the least-squares fit is "
+        "ONE moment fold (sum x/y/xy/x2/y2), so nothing after the count "
+        "aggregate exceeds O(vocab)."
+    ),
 }
 
 

@@ -150,3 +150,62 @@ def test_turn_gap_stats_day_of_later_turn(spark):
     rows = turn_gap_stats(df).collect()
     assert len(rows) == 1 and rows[0]["day"] == "2024-01-02"
     assert rows[0]["n_gaps"] == 1 and rows[0]["max_gap_s"] == 120.0
+
+
+def test_bigram_pmi_known_corpus(spark):
+    from professional_services_data_validator_spark.operators.text import (
+        bigram_pmi,
+    )
+
+    # unigrams: a=3, b=3, c=2, d=2 -> N1=10; bigrams: (a,b)x3, (b,c)x2,
+    # (c,d)x2, (d,a)x1 -> N2=8; min_count=2 keeps the first three
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d a b")], "id long, text string"
+    )
+    rows = bigram_pmi(df, "text", min_count=2, top_k=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert set(got) == {("a", "b"), ("b", "c"), ("c", "d")}
+    ab = got[("a", "b")]
+    assert ab["c12"] == 3 and ab["c1"] == 3 and ab["c2"] == 3
+    pmi_ab = math.log((3 / 8) / ((3 / 10) * (3 / 10)))
+    assert abs(ab["pmi"] - pmi_ab) < 1e-5
+    # ranks are 1-based and ordered by pmi desc
+    assert sorted(r["rank"] for r in rows) == [1, 2, 3]
+
+
+def test_bigram_pmi_min_count_filters(spark):
+    from professional_services_data_validator_spark.operators.text import (
+        bigram_pmi,
+    )
+
+    df = spark.createDataFrame([(1, "x y"), (2, "x z")], "id long, text string")
+    assert bigram_pmi(df, "text", min_count=2, top_k=10).count() == 0
+
+
+def test_zipf_fit_perfect_powerlaw(spark):
+    from professional_services_data_validator_spark.operators.text import (
+        zipf_fit,
+    )
+
+    # counts c = [8,4,2,1] on ranks r = [1,2,3,4]: assert the moments-
+    # based fit reproduces an independent closed-form least-squares
+    # replay of ln(c) ~ ln(r) (no numpy), plus the corpus totals.
+    words = []
+    for w, n in (("a", 8), ("b", 4), ("c", 2), ("d", 1)):
+        words += [w] * n
+    df = spark.createDataFrame([(1, " ".join(words))], "id long, text string")
+    row = zipf_fit(df, "text", top_n=10).collect()[0]
+    assert row["n_tokens"] == 15 and row["vocab_size"] == 4
+    assert row["n_fit"] == 4
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(row["zipf_slope"] - slope) < 1e-5
+    assert abs(row["r2"] - r2) < 1e-5
+    assert row["zipf_slope"] < 0  # frequency falls with rank
