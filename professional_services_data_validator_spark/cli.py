@@ -447,6 +447,21 @@ def build_parser() -> argparse.ArgumentParser:
                       help="column pairs 'a:b[,c:d]': add a mutual-"
                       "information section (one row per pair; "
                       "operators/aggregates.py mutual_information)")
+    prof.add_argument("--outliers", action="store_true",
+                      help="add a median/MAD robust-outlier section over "
+                      "the numeric columns (operators/aggregates.py "
+                      "robust_outlier_profile)")
+    prof.add_argument("--outlier-k", type=float, default=5.0,
+                      help="MAD multiplier for the outlier gate "
+                      "(|x - median| > k * 1.4826 * MAD)")
+    prof.add_argument("--benford", default=None,
+                      help="comma list of numeric columns: add a first-"
+                      "significant-digit Benford-conformance section per "
+                      "column (operators/aggregates.py benford_check)")
+    prof.add_argument("--fd", default=None,
+                      help="column pairs 'a:b[,c:d]': add a functional-"
+                      "dependency violation section (does a determine b; "
+                      "operators/aggregates.py fd_violations)")
 
     # snapshot-diff: incremental validation between two versions of the
     # same table (operators/snapshot.py; the Iceberg snapshot-to-snapshot
@@ -1319,6 +1334,43 @@ def _run_profile(args: argparse.Namespace) -> int:
         for other in mi_frames[1:]:
             out_mi = out_mi.unionByName(other)
         sections["mutual_information"] = out_mi
+    if getattr(args, "outliers", False) and num_cols:
+        from .operators.aggregates import robust_outlier_profile
+
+        sections["outliers"] = robust_outlier_profile(
+            df, num_cols, k=args.outlier_k
+        )
+    benford_cols = _split_cols(getattr(args, "benford", None))
+    if benford_cols:
+        from .operators.aggregates import benford_check
+
+        bf = [
+            benford_check(df, F.col(c)).select(
+                F.lit(c).alias("column"), "*"
+            )
+            for c in benford_cols
+        ]
+        out_bf = bf[0]
+        for other in bf[1:]:
+            out_bf = out_bf.unionByName(other)
+        sections["benford"] = out_bf
+    if getattr(args, "fd", None):
+        from .operators.aggregates import fd_violations
+
+        fd_frames = []
+        for pair in args.fd.split(","):
+            a, _, b = pair.strip().partition(":")
+            if not b:
+                raise SystemExit(f"--fd needs det:dep, got {pair!r}")
+            fd_frames.append(
+                fd_violations(df, a, b).select(
+                    F.lit(f"{a} -> {b}").alias("fd"), "*"
+                )
+            )
+        out_fd = fd_frames[0]
+        for other in fd_frames[1:]:
+            out_fd = out_fd.unionByName(other)
+        sections["fd_violations"] = out_fd
     if num_cols:
         profs = [
             numeric_profile(df, [], c, mode=mode).select(

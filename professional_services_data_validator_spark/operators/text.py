@@ -620,12 +620,17 @@ def bigram_pmi(
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
+    # the unigram count frame is joined TWICE (w1 and w2 lookups) — the
+    # join keys differ, so ReuseExchange can't share them and the token
+    # explode would run twice more; persist the O(vocab) frame instead
+    # (split_balance's pattern) and checkpoint the O(top_k) result before
+    # releasing it.
     uni = (
         df.select(F.explode(toks).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).persist()
     wt = Window.partitionBy()
     uni_t = uni.select(
         "w", "c", F.sum("c").over(wt).alias("n1")
@@ -663,15 +668,18 @@ def bigram_pmi(
         "w1", "w2", "c12", "c1", "c2", pmi.alias("pmi")
     ).orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)
     w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
-    return ranked.select(
-        F.row_number().over(w).alias("rank"),
-        "w1",
-        "w2",
-        "c12",
-        "c1",
-        "c2",
-        "pmi",
-    )
+    try:
+        return ranked.select(
+            F.row_number().over(w).alias("rank"),
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            "pmi",
+        ).localCheckpoint(eager=True)
+    finally:
+        uni.unpersist()
 
 
 def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:

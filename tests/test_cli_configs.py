@@ -717,3 +717,59 @@ def test_cli_profile_mi_section(spark, tmp_path, capsys):
     )
     assert got[("p", "q")][1] == 1.0  # q determined by p
     assert abs(got[("p", "r")][0]) < 1e-9  # independent
+
+
+def test_cli_profile_outliers_benford_fd_sections(spark, tmp_path, capsys):
+    """profile --outliers/--benford/--fd sections equal the operators run
+    directly (same parquet-vs-operator discipline as the base profile)."""
+    from professional_services_data_validator_spark.cli import main
+    from professional_services_data_validator_spark.operators.aggregates import (
+        benford_check,
+        fd_violations,
+        robust_outlier_profile,
+    )
+
+    src = str(tmp_path / "src_obf")
+    spark.createDataFrame(
+        [
+            ("k1", "x", 1.0),
+            ("k1", "y", 2.0),  # k1 -> two deps: FD violation
+            ("k2", "z", 3.0),
+            ("k2", "z", 400.0),  # the MAD outlier
+        ],
+        "det string, dep string, d double",
+    ).write.parquet(src)
+    out_p = str(tmp_path / "prof_obf")
+    rc = main([
+        "profile", "--source-path", src, "--top-k", "0",
+        "--outliers", "--outlier-k", "3.0",
+        "--benford", "d", "--fd", "det:dep",
+        "--output", out_p,
+    ])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    for section in ("outliers", "benford", "fd_violations"):
+        assert f"== {section} ==" in stdout
+    df = spark.read.parquet(src)
+    want_out = {tuple(r) for r in robust_outlier_profile(
+        df, ["d"], k=3.0
+    ).collect()}
+    got_out = {tuple(r) for r in spark.read.parquet(
+        f"{out_p}/outliers"
+    ).collect()}
+    assert got_out == want_out
+    want_bf = {tuple(r) for r in benford_check(df, F.col("d")).select(
+        F.lit("d").alias("column"), "*"
+    ).collect()}
+    got_bf = {tuple(r) for r in spark.read.parquet(
+        f"{out_p}/benford"
+    ).collect()}
+    assert got_bf == want_bf
+    got_fd = {tuple(r) for r in spark.read.parquet(
+        f"{out_p}/fd_violations"
+    ).collect()}
+    want_fd = {tuple(r) for r in fd_violations(df, "det", "dep").select(
+        F.lit("det -> dep").alias("fd"), "*"
+    ).collect()}
+    assert got_fd == want_fd
+    assert len(got_fd) == 1  # only k1 violates
