@@ -4586,3 +4586,75 @@ _TRAINING_ORACLES.update(
         "zipf_fit": _SQL_ZIPF_FIT,
     }
 )
+
+
+def q_sample_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representativeness gate for a 25% md5-prefix subsample of the
+    transcripts (operators/sampling.py sample_representativeness):
+    KS on text length + JSD on role vs the full population."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.sampling import (
+        sample_representativeness,
+    )
+
+    return sample_representativeness(
+        spark.table("transcripts"),
+        ["conv_id", "turn_idx"],
+        F.length("text"),
+        F.col("role"),
+        sample_hex="0123",
+    )
+
+
+_SQL_SAMPLE_REPR = f"""{_CTES},
+samp AS (
+  SELECT * FROM transcripts
+  WHERE substr(md5('42' || '|' || conv_id || '|'
+                   || CAST(turn_idx AS VARCHAR)), 1, 1)
+        IN ('0', '1', '2', '3')),
+u AS (
+  SELECT v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT length(text) AS v, 1 AS ns, 0 AS nt FROM transcripts
+    UNION ALL SELECT length(text), 0, 1 FROM samp) z
+  GROUP BY v),
+c AS (SELECT
+   sum(n_s) OVER (ORDER BY v) AS cs,
+   sum(n_t) OVER (ORDER BY v) AS ct,
+   sum(n_s) OVER () AS tot_s,
+   sum(n_t) OVER () AS tot_t FROM u),
+k AS (SELECT
+   round(max(abs(cs * 1.0 / tot_s - ct * 1.0 / tot_t)), 6) AS value,
+   CAST(max(tot_s) AS BIGINT) AS np, CAST(max(tot_t) AS BIGINT) AS nsm
+ FROM c),
+uj AS (
+  SELECT v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT role AS v, 1 AS ns, 0 AS nt FROM transcripts
+    UNION ALL SELECT role, 0, 1 FROM samp) z
+  GROUP BY v),
+cj AS (SELECT
+   n_s * 1.0 / sum(n_s) OVER () AS p,
+   n_t * 1.0 / sum(n_t) OVER () AS q,
+   sum(n_s) OVER () AS tot_s, sum(n_t) OVER () AS tot_t FROM uj),
+j AS (SELECT
+   round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+                        ELSE 0 END)
+       + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+                        ELSE 0 END), 6) AS value,
+   CAST(max(tot_s) AS BIGINT) AS np, CAST(max(tot_t) AS BIGINT) AS nsm
+ FROM cj)
+SELECT * FROM (
+  SELECT 'jsd_categorical' AS "check", value, np AS n_population,
+         nsm AS n_sample, CAST(0.01 AS DOUBLE) AS threshold,
+         CASE WHEN value <= 0.01 THEN 'success' ELSE 'fail' END
+           AS validation_status
+  FROM j
+  UNION ALL
+  SELECT 'ks_numeric', value, np, nsm, CAST(0.05 AS DOUBLE),
+         CASE WHEN value <= 0.05 THEN 'success' ELSE 'fail' END
+  FROM k) z
+ORDER BY "check"
+"""
+
+
+_TRAINING_QUERIES["sample_representativeness"] = q_sample_repr
+_TRAINING_ORACLES["sample_representativeness"] = _SQL_SAMPLE_REPR

@@ -83,6 +83,7 @@ TRAINING_BENCH = [
     "turn_gap_stats",
     "bigram_pmi_top",
     "zipf_fit",
+    "sample_representativeness",
 ]
 
 

@@ -267,3 +267,74 @@ def split_balance(
         return out.localCheckpoint(eager=True)
     finally:
         cat.unpersist()
+
+
+def sample_representativeness(
+    df: DataFrame,
+    keys: list[str],
+    numeric_col,
+    category_col,
+    sample_hex: str = "0123",
+    seed: int = 42,
+    ks_threshold: float = 0.05,
+    jsd_threshold: float = 0.01,
+) -> DataFrame:
+    """Is a deterministic subsample representative of its population? The
+    gate a pipeline runs before trusting an eval subset, a drilldown
+    sample, or a profile computed on a fraction of the table: an unlucky
+    (or key-correlated) sample silently skews every downstream number.
+
+    The sample is the md5-prefix slice md5(seed || keys)[0] in
+    ``sample_hex`` (fraction = len(sample_hex)/16) — engine-portable,
+    scale-proportional, and map-only (the hash_split construction, so
+    whatever sampling a job used can be replayed here exactly). Two
+    statistics compare sample vs population:
+
+    - KS on ``numeric_col`` (exact two-sample ECDF sup-distance via the
+      drift family's grouped-counts + window-cumsum plan);
+    - Jensen-Shannon divergence on ``category_col`` (bounded [0, ln 2],
+      no epsilon floor).
+
+    Output, one row per check (long format, combiner discipline):
+      (check, value 6dp, n_population, n_sample, threshold,
+       validation_status)
+    """
+    from .drift import jensen_shannon, ks_statistic
+
+    h1 = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(seed)), *[F.col(k).cast("string") for k in keys]
+            )
+        ),
+        1,
+        1,
+    )
+    samp = df.filter(h1.isin(*list(sample_hex)))
+
+    def _verdict(value, thr):
+        return (
+            F.when(value <= thr, F.lit(consts.VALIDATION_STATUS_SUCCESS))
+            .otherwise(F.lit(consts.VALIDATION_STATUS_FAIL))
+            .alias("validation_status")
+        )
+
+    # verdicts compare the 6dp-ROUNDED statistic so the status is
+    # engine-deterministic even when the raw value sits on the threshold
+    ks = ks_statistic(df, samp, numeric_col).select(
+        F.lit("ks_numeric").alias("check"),
+        F.round(F.col("ks_stat"), 6).alias("value"),
+        F.col("n_source").cast("long").alias("n_population"),
+        F.col("n_target").cast("long").alias("n_sample"),
+        F.lit(float(ks_threshold)).alias("threshold"),
+        _verdict(F.round(F.col("ks_stat"), 6), ks_threshold),
+    )
+    jsd = jensen_shannon(df, samp, category_col).select(
+        F.lit("jsd_categorical").alias("check"),
+        F.col("jsd").alias("value"),
+        F.col("n_source").cast("long").alias("n_population"),
+        F.col("n_target").cast("long").alias("n_sample"),
+        F.lit(float(jsd_threshold)).alias("threshold"),
+        _verdict(F.col("jsd"), jsd_threshold),
+    )
+    return ks.unionByName(jsd).orderBy("check")

@@ -455,6 +455,14 @@ NOTES = {
         "count frames; the two enrichment joins are vocabulary-sized. "
         "Ranking on 6dp-rounded pmi makes the top-k cut deterministic."
     ),
+    "sample_representativeness": (
+        "Representativeness gate: the md5-prefix sample is a map-only "
+        "filter (no second table, no shuffle to draw it); KS and JSD "
+        "each run the drift family's grouped-counts plan — population "
+        "and sample sides aggregate once each, window totals, O(distinct "
+        "values) ever crosses an exchange. Four O(rows) aggregate passes "
+        "total (two statistics x two sides), all map-side combined."
+    ),
     "zipf_fit": (
         "Zipf fit: one explode + vocab-bounded count aggregate; the "
         "rank window sorts the O(vocab) frame (single partition, "

@@ -209,3 +209,52 @@ def test_zipf_fit_perfect_powerlaw(spark):
     assert abs(row["zipf_slope"] - slope) < 1e-5
     assert abs(row["r2"] - r2) < 1e-5
     assert row["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_sample_representativeness_uniform_sample_passes(spark):
+    from professional_services_data_validator_spark.operators.sampling import (
+        sample_representativeness,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 50), "c" + str(i % 4)) for i in range(2000)],
+        "id long, x double, cat string",
+    )
+    rows = {r["check"]: r for r in sample_representativeness(
+        df, ["id"], F.col("x"), F.col("cat"), sample_hex="0123"
+    ).collect()}
+    assert set(rows) == {"ks_numeric", "jsd_categorical"}
+    ks, jsd = rows["ks_numeric"], rows["jsd_categorical"]
+    assert ks["n_population"] == 2000
+    # md5-prefix slice: ~4/16 of rows, binomial-bounded
+    assert 350 < ks["n_sample"] < 650
+    assert ks["validation_status"] == "success"
+    assert jsd["validation_status"] == "success"
+    assert jsd["n_sample"] == ks["n_sample"]
+
+
+def test_sample_representativeness_detects_key_correlated_category(spark):
+    """A category that is a function of the sampling hash is the worst
+    case — the sample sees only one value. The JSD check must fail."""
+    from professional_services_data_validator_spark.operators.sampling import (
+        sample_representativeness,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(2000)], "id long, x double"
+    )
+    h1 = F.substring(
+        F.md5(F.concat_ws("|", F.lit("42"), F.col("id").cast("string"))), 1, 1
+    )
+    df = base.withColumn(
+        "cat",
+        F.when(h1.isin("0", "1", "2", "3"), F.lit("in")).otherwise(
+            F.lit("out")
+        ),
+    )
+    rows = {r["check"]: r for r in sample_representativeness(
+        df, ["id"], F.col("x"), F.col("cat"), sample_hex="0123"
+    ).collect()}
+    assert rows["jsd_categorical"]["validation_status"] == "fail"
+    # the numeric column is NOT hash-correlated: KS still passes
+    assert rows["ks_numeric"]["validation_status"] == "success"
