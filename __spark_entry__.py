@@ -4658,3 +4658,60 @@ ORDER BY "check"
 
 _TRAINING_QUERIES["sample_representativeness"] = q_sample_repr
 _TRAINING_ORACLES["sample_representativeness"] = _SQL_SAMPLE_REPR
+
+
+def q_type_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inferred-type profile over a mixed-type string view of events:
+    ids stringify as ints, values as doubles, timestamps as timestamps,
+    event_type/props as free text (operators/aggregates.py
+    type_conformance)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        type_conformance,
+    )
+
+    df = spark.table("events").select(
+        F.col("event_id").cast("string").alias("event_id_s"),
+        F.col("value").cast("string").alias("value_s"),
+        F.col("ts").cast("string").alias("ts_s"),
+        "event_type",
+        "props",
+    )
+    return type_conformance(
+        df, ["event_id_s", "value_s", "ts_s", "event_type", "props"]
+    )
+
+
+_SQL_TYPE_CONFORMANCE = """
+WITH m AS (
+  SELECT "column", value FROM (
+    SELECT 'event_id_s' AS "column", CAST(event_id AS VARCHAR) AS value
+    FROM events
+    UNION ALL SELECT 'value_s', CAST(value AS VARCHAR) FROM events
+    UNION ALL SELECT 'ts_s', CAST(ts AS VARCHAR) FROM events
+    UNION ALL SELECT 'event_type', event_type FROM events
+    UNION ALL SELECT 'props', props FROM events) z
+  WHERE value IS NOT NULL)
+SELECT "column",
+  CAST(count(*) AS BIGINT) AS n_nonnull,
+  round(avg(CASE WHEN regexp_matches(value, '^[+-]?[0-9]+$')
+                 THEN 1.0 ELSE 0.0 END), 6) AS frac_int,
+  round(avg(CASE WHEN regexp_matches(value,
+      '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                 THEN 1.0 ELSE 0.0 END), 6) AS frac_double,
+  round(avg(CASE WHEN regexp_matches(value,
+      '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 1.0 ELSE 0.0 END), 6)
+    AS frac_date,
+  round(avg(CASE WHEN regexp_matches(value,
+      '^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}')
+                 THEN 1.0 ELSE 0.0 END), 6) AS frac_timestamp,
+  round(avg(CASE WHEN regexp_matches(value,
+      '^([Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee])$')
+                 THEN 1.0 ELSE 0.0 END), 6) AS frac_bool,
+  round(avg(CASE WHEN value = '' THEN 1.0 ELSE 0.0 END), 6) AS frac_empty
+FROM m GROUP BY "column" ORDER BY "column"
+"""
+
+
+_TRAINING_QUERIES["type_conformance"] = q_type_conformance
+_TRAINING_ORACLES["type_conformance"] = _SQL_TYPE_CONFORMANCE

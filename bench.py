@@ -84,6 +84,7 @@ TRAINING_BENCH = [
     "bigram_pmi_top",
     "zipf_fit",
     "sample_representativeness",
+    "type_conformance",
 ]
 
 

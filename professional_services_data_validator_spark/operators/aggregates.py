@@ -1081,3 +1081,47 @@ def benford_check(df: DataFrame, value_col: Column) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_TYPE_PATTERNS = {
+    # anchored, RE2/Java-portable (no lookarounds) — identical semantics
+    # in Spark rlike and DuckDB regexp_matches
+    "frac_int": r"^[+-]?[0-9]+$",
+    "frac_double": r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$",
+    "frac_date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "frac_timestamp": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}",
+    "frac_bool": r"^([Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee])$",
+}
+
+
+def type_conformance(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Inferred-type profile per string column: what fraction of the
+    NON-NULL values parses as int / double / date / timestamp / bool,
+    plus the empty-string fraction — the type-inference analyzer
+    (TFX schema inference / Deequ type detection analog; the reference
+    validates declared schemas, schema_validation.py — this discovers
+    what a string column actually HOLDS, the step before a cast-based
+    migration).
+
+    All checks are anchored portable regexes (int conforms to double
+    too, by design — the fractions are independent signals, not a
+    partition). ONE map-side melt + ONE aggregate pass: N columns x 6
+    signals cost a single scan; every avg is a conditional aggregate
+    (the expectations-engine discipline). Output per column:
+      (column, n_nonnull, frac_int, frac_double, frac_date,
+       frac_timestamp, frac_bool, frac_empty)   — fractions 6dp.
+    """
+    m = _melt_to_column_value(df, columns)
+    aggs = [F.count(F.lit(1)).alias("n_nonnull")]
+    for name, pat in _TYPE_PATTERNS.items():
+        aggs.append(
+            F.round(
+                F.avg(F.col("value").rlike(pat).cast("double")), 6
+            ).alias(name)
+        )
+    aggs.append(
+        F.round(
+            F.avg((F.col("value") == "").cast("double")), 6
+        ).alias("frac_empty")
+    )
+    return m.groupBy("column").agg(*aggs).orderBy("column")

@@ -463,6 +463,12 @@ NOTES = {
         "values) ever crosses an exchange. Four O(rows) aggregate passes "
         "total (two statistics x two sides), all map-side combined."
     ),
+    "type_conformance": (
+        "Type-inference profile: one map-side melt + ONE aggregate pass "
+        "— N columns x 6 regex signals cost a single scan (each signal "
+        "is a conditional avg, the expectations-engine discipline); the "
+        "exchange carries per-column partial aggregates only."
+    ),
     "zipf_fit": (
         "Zipf fit: one explode + vocab-bounded count aggregate; the "
         "rank window sorts the O(vocab) frame (single partition, "

@@ -258,3 +258,33 @@ def test_sample_representativeness_detects_key_correlated_category(spark):
     assert rows["jsd_categorical"]["validation_status"] == "fail"
     # the numeric column is NOT hash-correlated: KS still passes
     assert rows["ks_numeric"]["validation_status"] == "success"
+
+
+def test_type_conformance_known_fractions(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        type_conformance,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("1", "2024-01-01", "TRUE"),
+            ("2.5", "2024-01-01 10:00:00", "false"),
+            ("-3", "not a date", ""),
+            (None, "2024-13-45", "maybe"),
+        ],
+        "a string, b string, c string",
+    )
+    out = {r["column"]: r for r in type_conformance(df, ["a", "b", "c"]).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    # a: '1', '2.5', '-3' (NULL excluded): ints 2/3, doubles 3/3
+    assert a["n_nonnull"] == 3
+    assert abs(a["frac_int"] - round(2 / 3, 6)) < 1e-9
+    assert a["frac_double"] == 1.0
+    assert a["frac_date"] == 0.0
+    # b: one date, one timestamp; '2024-13-45' matches the shape regex
+    # (conformance is syntactic, not calendar-valid — documented)
+    assert b["frac_date"] == 0.5  # 2024-01-01 and 2024-13-45
+    assert b["frac_timestamp"] == 0.25
+    # c: TRUE + false -> 0.5 bool; one empty string
+    assert c["frac_bool"] == 0.5
+    assert c["frac_empty"] == 0.25
