@@ -530,3 +530,55 @@ def stream_drift_psi(
         F.col("w.start").cast("date").alias("ts"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+def stream_drift_psi_quantile(
+    stream: DataFrame,
+    reference: DataFrame,
+    value_col,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    window: str = "1 day",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-window equal-frequency NUMERIC PSI against a static reference —
+    the streaming twin of operators.drift.psi_quantile_binned, built by
+    composition: the reference's exact interior percentiles are computed
+    once batch-side and folded into the stream as a literal edge array
+    (map-only bin assignment inside the stream's stateless projection);
+    the per-window PSI fold then reuses stream_drift_psi on the bin index
+    (bins are just categories), inheriting its absent-category correction
+    algebra and chained event-time aggregation plan. State per window is
+    <= n_bins + 1 counters.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    ref_v = reference.select(v.cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    edges = ref_v.agg(
+        F.percentile("__v", F.array(*[F.lit(p) for p in fracs])).alias("e")
+    ).first()["e"]
+    edge_arr = F.array(*[F.lit(float(e)) for e in edges])
+
+    def _bin(frame: DataFrame, keep_ts: bool) -> DataFrame:
+        vv = frame[value_col] if isinstance(value_col, str) else value_col
+        b = F.aggregate(
+            edge_arr,
+            F.lit(0),
+            lambda acc, e: acc
+            + F.when(vv.cast("double") > e, 1).otherwise(0),
+        ).alias("__bin")
+        cols = [b] + ([F.col(ts_col)] if keep_ts else [])
+        return frame.filter(vv.isNotNull()).select(*cols)
+
+    return stream_drift_psi(
+        _bin(stream, keep_ts=True),
+        _bin(reference, keep_ts=False),
+        "__bin",
+        ts_col=ts_col,
+        watermark=watermark,
+        window=window,
+        eps=eps,
+    )

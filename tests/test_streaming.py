@@ -399,3 +399,64 @@ def test_stream_drift_psi_matches_batch_per_day(spark, transcripts):
         # NOTE: batch psi() floors BOTH sides' proportions; the streaming
         # version floors identically, so values agree to rounding
         assert abs(got[str(day)] - round(batch, 6)) < 2e-6, day
+
+
+def test_stream_drift_psi_quantile_matches_batch(spark, transcripts):
+    """Per-window streaming quantile-bin PSI == batch psi() on the same
+    literal-edge bin projection per day slice (6dp) — the numeric twin
+    rides stream_drift_psi's correction algebra unchanged."""
+    from professional_services_data_validator_spark.operators.drift import psi
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_drift_psi_quantile,
+    )
+
+    reference = transcripts
+    val = F.length("text").alias("tl")
+    ref_tl = transcripts.select(val, "ts")
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    sentinel = ref_tl.limit(1).withColumn(
+        "ts", (F.lit(max_ts) + F.expr("INTERVAL 2 DAYS")).cast(
+            dict(transcripts.dtypes)["ts"]
+        )
+    )
+    augmented = ref_tl.unionByName(sentinel)
+    n_bins = 8
+    with tempfile.TemporaryDirectory() as d:
+        stream = _file_stream(spark, augmented, d)
+        out = stream_drift_psi_quantile(
+            stream, ref_tl, "tl", watermark="0 seconds", n_bins=n_bins
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("psi_q_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {str(r.ts): r.psi for r in spark.table("psi_q_out").collect()}
+
+    # batch replay: same edges (exact percentiles on the reference), same
+    # bin fold, batch psi() per day
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    edges = ref_tl.agg(
+        F.percentile("tl", F.array(*[F.lit(p) for p in fracs]))
+    ).collect()[0][0]
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    bin_of = F.aggregate(
+        earr, F.lit(0),
+        lambda acc, e: acc + F.when(F.col("tl") > e, 1).otherwise(0),
+    ).alias("__bin")
+    binned = ref_tl.select(bin_of, "ts")
+    days = [
+        r.d for r in binned.select(F.col("ts").cast("date").alias("d"))
+        .distinct().collect()
+    ]
+    assert set(got) == {str(d) for d in days} and len(days) > 1
+    for day in days:
+        batch = psi(
+            binned.filter(F.col("ts").cast("date") == F.lit(day)),
+            binned,
+            F.col("__bin"),
+        ).collect()[0]["psi"]
+        assert abs(got[str(day)] - round(batch, 6)) < 2e-6, day
