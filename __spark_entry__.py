@@ -4715,3 +4715,112 @@ FROM m GROUP BY "column" ORDER BY "column"
 
 _TRAINING_QUERIES["type_conformance"] = q_type_conformance
 _TRAINING_ORACLES["type_conformance"] = _SQL_TYPE_CONFORMANCE
+
+
+def q_string_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column value-length profile over transcripts (text/role/tool)
+    — operators/aggregates.py string_length_profile."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        string_length_profile,
+    )
+
+    return string_length_profile(
+        spark.table("transcripts"), ["text", "role", "tool"]
+    )
+
+
+_SQL_STRING_LENGTHS = f"""{_CTES},
+m AS (
+  SELECT "column", length(value) AS l FROM (
+    SELECT 'text' AS "column", text AS value FROM transcripts
+    UNION ALL SELECT 'role', role FROM transcripts
+    UNION ALL SELECT 'tool', tool FROM transcripts) z
+  WHERE value IS NOT NULL)
+SELECT "column",
+  CAST(count(*) AS BIGINT) AS n_nonnull,
+  CAST(min(l) AS BIGINT) AS min_len,
+  CAST(max(l) AS BIGINT) AS max_len,
+  round(avg(l), 6) AS avg_len,
+  quantile_cont(l, 0.5) AS p50_len
+FROM m GROUP BY "column" ORDER BY "column"
+"""
+
+
+def q_grouped_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null rate of (tool, text) per role — the by-segment completeness
+    slicer; tool is null for every non-tool role by construction
+    (operators/aggregates.py grouped_null_rates)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        grouped_null_rates,
+    )
+
+    return grouped_null_rates(
+        spark.table("transcripts"), "role", ["tool", "text"]
+    )
+
+
+_SQL_GROUPED_NULL_RATES = f"""{_CTES},
+w AS (
+  SELECT CAST(role AS VARCHAR) AS "group",
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_tool,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_text
+  FROM transcripts GROUP BY role)
+SELECT "group", "column", n_rows, n_null,
+       round(n_null * 1.0 / n_rows, 6) AS null_frac
+FROM (
+  SELECT "group", 'tool' AS "column", n_rows, null_tool AS n_null FROM w
+  UNION ALL
+  SELECT "group", 'text', n_rows, null_text FROM w) z
+ORDER BY "group", "column"
+"""
+
+
+def q_duplication_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK duplication rate per day over transcripts with a planted
+    duplicate slice (every event_id % 101 = 0 row appended twice) —
+    operators/uniqueness.py duplication_by_day answers WHEN duplication
+    started."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.uniqueness import (
+        duplication_by_day,
+    )
+
+    t = spark.table("transcripts")
+    planted = t.unionByName(t.filter(F.col("event_id") % 101 == 0))
+    return duplication_by_day(planted, ["conv_id", "turn_idx"])
+
+
+_SQL_DUPLICATION_BY_DAY = f"""{_CTES},
+planted AS (
+  SELECT * FROM transcripts
+  UNION ALL SELECT * FROM transcripts WHERE event_id % 101 = 0)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS n_keys,
+  CAST(count(*) - count(DISTINCT (conv_id, turn_idx)) AS BIGINT)
+    AS n_dup_rows,
+  round((count(*) - count(DISTINCT (conv_id, turn_idx))) * 1.0 / count(*),
+        6) AS dup_frac
+FROM planted GROUP BY 1 ORDER BY day
+"""
+
+
+_TRAINING_QUERIES.update(
+    {
+        "string_length_profile": q_string_lengths,
+        "grouped_null_rates": q_grouped_null_rates,
+        "duplication_by_day": q_duplication_by_day,
+    }
+)
+_TRAINING_ORACLES.update(
+    {
+        "string_length_profile": _SQL_STRING_LENGTHS,
+        "grouped_null_rates": _SQL_GROUPED_NULL_RATES,
+        "duplication_by_day": _SQL_DUPLICATION_BY_DAY,
+    }
+)

@@ -85,6 +85,9 @@ TRAINING_BENCH = [
     "zipf_fit",
     "sample_representativeness",
     "type_conformance",
+    "string_length_profile",
+    "grouped_null_rates",
+    "duplication_by_day",
 ]
 
 

@@ -1125,3 +1125,77 @@ def type_conformance(df: DataFrame, columns: list[str]) -> DataFrame:
         ).alias("frac_empty")
     )
     return m.groupBy("column").agg(*aggs).orderBy("column")
+
+
+def string_length_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column value-length profile (Deequ MinLength/MaxLength
+    analyzers, plus avg and exact median): truncation, padding, and
+    concatenation bugs show up as length-distribution shifts before any
+    content check fires. ONE map-side melt + one aggregate pass; the
+    exact percentile buffers per-column length lists (numeric_profile's
+    documented caveat; approx_percentile is the extreme-cardinality
+    swap). NULLs excluded; empty strings count with length 0.
+
+    Output per column:
+      (column, n_nonnull, min_len, max_len, avg_len 6dp, p50_len)
+    """
+    m = _melt_to_column_value(df, columns).select(
+        "column", F.length("value").alias("l")
+    )
+    return (
+        m.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_nonnull"),
+            F.min("l").cast("long").alias("min_len"),
+            F.max("l").cast("long").alias("max_len"),
+            F.round(F.avg("l"), 6).alias("avg_len"),
+            F.percentile("l", F.lit(0.5)).alias("p50_len"),
+        )
+        .orderBy("column")
+    )
+
+
+def grouped_null_rates(
+    df: DataFrame, group_col: str, columns: list[str]
+) -> DataFrame:
+    """Completeness BY SEGMENT: null rate of each column within each
+    group — the slicer that turns "0.4% of tool is null" into "tool is
+    null for every row of channel ch3" (a failing upstream producer is
+    almost always segment-shaped; the global null rate dilutes it).
+
+    ONE groupBy(group) aggregate computes every column's null count
+    (conditional sums, expectations-engine discipline); the wide result
+    (O(groups) rows) melts to long format with the combiner's
+    explode(array(structs)) — zero joins, one shuffle total.
+
+    Output: (group, column, n_rows, n_null, null_frac 6dp), ordered.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+        for c in columns
+    ]
+    wide = df.groupBy(
+        F.col(group_col).cast("string").alias("group")
+    ).agg(*aggs)
+    melted = wide.select(
+        "group",
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__null_{c}").alias("n_null"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("e"),
+    )
+    return melted.select(
+        "group",
+        F.col("e.column").alias("column"),
+        F.col("__n").alias("n_rows"),
+        F.col("e.n_null").alias("n_null"),
+        F.round(F.col("e.n_null") / F.col("__n"), 6).alias("null_frac"),
+    ).orderBy("group", "column")

@@ -51,3 +51,32 @@ def uniqueness_verdict(
             .otherwise(F.lit(consts.VALIDATION_STATUS_FAIL)),
         )
     )
+
+
+def duplication_by_day(df, keys, ts_col: str = "ts"):
+    """Primary-key duplication rate as a per-day time series — the ops
+    dashboard twin of uniqueness_violations (that one lists the dup rows;
+    this one answers "WHEN did duplication start", which is what pages an
+    on-call). ONE aggregate: groupBy(day) with a count-distinct over the
+    key struct (Expand + two-phase hash aggregate — map-side partial
+    dedup, the exchange carries live (day, key) pairs).
+
+    Output per day: (day, n_rows, n_keys, n_dup_rows, dup_frac 6dp)
+    where n_dup_rows = n_rows - n_keys (rows beyond the first per key).
+    """
+    from pyspark.sql import functions as F
+
+    day = F.date_format(ts_col, "yyyy-MM-dd").alias("day")
+    key = F.struct(*[F.col(k) for k in keys])
+    out = df.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(key).alias("n_keys"),
+    )
+    dup = F.col("n_rows") - F.col("n_keys")
+    return out.select(
+        "day",
+        "n_rows",
+        "n_keys",
+        dup.alias("n_dup_rows"),
+        F.round(dup / F.col("n_rows"), 6).alias("dup_frac"),
+    ).orderBy("day")

@@ -469,6 +469,22 @@ NOTES = {
         "is a conditional avg, the expectations-engine discipline); the "
         "exchange carries per-column partial aggregates only."
     ),
+    "string_length_profile": (
+        "Length profile: one map-side melt + one aggregate; only the "
+        "exact p50 buffers per-column values (documented numeric_profile "
+        "caveat). Exchange carries per-column partials."
+    ),
+    "grouped_null_rates": (
+        "Segment completeness: ONE groupBy(group) computes every "
+        "column's null count as conditional sums; the O(groups)-row "
+        "wide result melts to long format with explode(array(structs)) "
+        "— zero joins, one shuffle total."
+    ),
+    "duplication_by_day": (
+        "Per-day dup rate: ONE groupBy(day) + countDistinct(key struct) "
+        "— Expand + two-phase hash aggregate, map-side partial dedup; "
+        "the exchange carries live (day, key) pairs, never rows twice."
+    ),
     "zipf_fit": (
         "Zipf fit: one explode + vocab-bounded count aggregate; the "
         "rank window sorts the O(vocab) frame (single partition, "

@@ -288,3 +288,67 @@ def test_type_conformance_known_fractions(spark):
     # c: TRUE + false -> 0.5 bool; one empty string
     assert c["frac_bool"] == 0.5
     assert c["frac_empty"] == 0.25
+
+
+def test_string_length_profile_known(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        string_length_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("ab", ""), ("abcd", None), ("x", "yy")], "s string, t string"
+    )
+    out = {r["column"]: r for r in string_length_profile(df, ["s", "t"]).collect()}
+    s, t = out["s"], out["t"]
+    assert (s["min_len"], s["max_len"]) == (1, 4)
+    assert abs(s["avg_len"] - round(7 / 3, 6)) < 1e-9
+    assert s["p50_len"] == 2.0
+    # NULL excluded, empty string counts as length 0
+    assert t["n_nonnull"] == 2 and t["min_len"] == 0 and t["max_len"] == 2
+
+
+def test_grouped_null_rates_segment_shaped(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        grouped_null_rates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g1", None, 1.0),
+            ("g1", None, None),
+            ("g2", "v", 2.0),
+            ("g2", "w", 3.0),
+        ],
+        "g string, a string, b double",
+    )
+    out = {(r["group"], r["column"]): r for r in grouped_null_rates(
+        df, "g", ["a", "b"]
+    ).collect()}
+    assert out[("g1", "a")]["null_frac"] == 1.0  # segment-shaped failure
+    assert out[("g2", "a")]["null_frac"] == 0.0
+    assert out[("g1", "b")]["n_null"] == 1
+    assert out[("g1", "b")]["n_rows"] == 2
+
+
+def test_duplication_by_day_planted(spark):
+    from professional_services_data_validator_spark.operators.uniqueness import (
+        duplication_by_day,
+    )
+    from datetime import datetime as d
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, d(2024, 1, 1, 1)),
+            ("c1", 0, d(2024, 1, 1, 2)),  # dup PK on day 1
+            ("c1", 1, d(2024, 1, 1, 3)),
+            ("c2", 0, d(2024, 1, 2, 1)),  # clean day 2
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    out = {r["day"]: r for r in duplication_by_day(
+        df, ["conv_id", "turn_idx"]
+    ).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert d1["n_rows"] == 3 and d1["n_keys"] == 2 and d1["n_dup_rows"] == 1
+    assert abs(d1["dup_frac"] - round(1 / 3, 6)) < 1e-9
+    assert d2["n_dup_rows"] == 0 and d2["dup_frac"] == 0.0
