@@ -4564,12 +4564,14 @@ mom AS (
 SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(vocab_size AS BIGINT) AS vocab_size,
        CAST(n_fit AS BIGINT) AS n_fit,
-       round((n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx), 6)
-         AS zipf_slope,
-       round(CASE WHEN (n_fit * syy - sy * sy) > 0
+       round(CASE WHEN (n_fit * sxx - sx * sx) > 0
+                  THEN (n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx)
+                  END, 6) AS zipf_slope,
+       round(CASE WHEN (n_fit * sxx - sx * sx) > 0
+                   AND (n_fit * syy - sy * sy) > 0
                   THEN (n_fit * sxy - sx * sy) * (n_fit * sxy - sx * sy)
                        / ((n_fit * sxx - sx * sx) * (n_fit * syy - sy * sy))
-                  ELSE 1.0 END, 6) AS r2
+                  END, 6) AS r2
 FROM mom
 """
 

@@ -465,6 +465,11 @@ def psi_quantile_binned(
     edges = src_v.agg(
         F.percentile("v", F.array(*[F.lit(p) for p in fracs])).alias("e")
     ).first()["e"]
+    if edges is None:
+        raise ValueError(
+            "psi_quantile_binned: source has no non-null values "
+            "(cannot derive quantile bin edges)"
+        )
     edge_arr = F.array(*[F.lit(float(e)) for e in edges])
     bin_of = F.aggregate(
         edge_arr,

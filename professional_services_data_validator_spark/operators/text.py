@@ -732,15 +732,17 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # n_fit < 2 has no spread: varx = 0 and cov/varx would be NaN —
+    # emit NULL slope / r2 instead (degenerate fit, not a number)
     return mom.select(
         "n_tokens",
         "vocab_size",
         "n_fit",
-        F.round(cov / varx, 6).alias("zipf_slope"),
         F.round(
-            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(
-                F.lit(1.0)
-            ),
+            F.when(varx > 0, cov / varx), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)),
             6,
         ).alias("r2"),
     )

@@ -352,3 +352,24 @@ def test_duplication_by_day_planted(spark):
     assert d1["n_rows"] == 3 and d1["n_keys"] == 2 and d1["n_dup_rows"] == 1
     assert abs(d1["dup_frac"] - round(1 / 3, 6)) < 1e-9
     assert d2["n_dup_rows"] == 0 and d2["dup_frac"] == 0.0
+
+
+def test_psi_quantile_binned_empty_source_raises(spark):
+    empty = spark.createDataFrame([], "v double")
+    tgt = spark.createDataFrame([(1.0,)], "v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no non-null values"):
+        psi_quantile_binned(empty, tgt, F.col("v"))
+
+
+def test_zipf_fit_degenerate_corpus_is_null_not_nan(spark):
+    from professional_services_data_validator_spark.operators.text import (
+        zipf_fit,
+    )
+
+    # single distinct token: n_fit = 1 -> no spread -> NULL slope/r2
+    df = spark.createDataFrame([(1, "w w w")], "id long, text string")
+    row = zipf_fit(df, "text").collect()[0]
+    assert row["n_fit"] == 1
+    assert row["zipf_slope"] is None and row["r2"] is None
