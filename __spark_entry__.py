@@ -4826,3 +4826,267 @@ _TRAINING_ORACLES.update(
         "duplication_by_day": _SQL_DUPLICATION_BY_DAY,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Conversation-semantic + association profilers (cont. 7):
+# stuck-loop detection, role-conditioned response latency, Cramér's V
+# association pairs, char-bigram style drift, conv-length KS.
+# ---------------------------------------------------------------------------
+
+
+def q_loop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detector over transcripts with a planted loop
+    slice (turn_idx % 11 in (3,4,5) forced to identical assistant turns)
+    — operators/conversation.py loop_detection; gaps-and-islands over
+    conv-partitioned windows, never a global sort."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.conversation import (
+        loop_detection,
+    )
+
+    t = spark.table("transcripts")
+    looped = (F.col("turn_idx") % 11).isin(3, 4, 5)
+    planted = t.withColumn(
+        "text", F.when(looped, F.lit("LOOP")).otherwise(F.col("text"))
+    ).withColumn(
+        "role", F.when(looped, F.lit("assistant")).otherwise(F.col("role"))
+    )
+    return loop_detection(planted, min_run=3)
+
+
+_SQL_LOOP_DETECTION = f"""{_CTES},
+planted AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN turn_idx % 11 IN (3,4,5) THEN 'assistant' ELSE role END AS role,
+    CASE WHEN turn_idx % 11 IN (3,4,5) THEN 'LOOP' ELSE text END AS text
+  FROM transcripts),
+flagged AS (
+  SELECT conv_id, turn_idx,
+    (role IS NOT DISTINCT FROM
+       lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+    AND (text IS NOT DISTINCT FROM
+       lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS is_rep
+  FROM planted),
+islands AS (
+  SELECT conv_id,
+    sum(CASE WHEN is_rep THEN 0 ELSE 1 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS island
+  FROM flagged),
+runs AS (
+  SELECT conv_id, island, count(*) AS run_len
+  FROM islands GROUP BY conv_id, island),
+per_conv AS (
+  SELECT conv_id,
+    CAST(sum(run_len) AS BIGINT) AS n_turns,
+    CAST(count(CASE WHEN run_len >= 3 THEN 1 END) AS BIGINT) AS n_loop_runs,
+    CAST(max(run_len) AS BIGINT) AS max_run_len,
+    CAST(sum(CASE WHEN run_len >= 2 THEN run_len - 1 ELSE 0 END) AS BIGINT)
+      AS n_repeat_turns
+  FROM runs GROUP BY conv_id)
+SELECT * FROM per_conv WHERE max_run_len >= 3 ORDER BY conv_id
+"""
+
+
+def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user->assistant response-latency percentiles per day —
+    operators/temporal.py response_latency; lag-free (conv, turn+1)
+    self-join, exact integer-microsecond arithmetic."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.temporal import (
+        response_latency,
+    )
+
+    return response_latency(spark.table("transcripts"))
+
+
+_SQL_RESPONSE_LATENCY = f"""{_CTES},
+pairs AS (
+  SELECT b.ts AS ts_next,
+    epoch_us(b.ts) - epoch_us(a.ts) AS lat_us
+  FROM transcripts a
+  JOIN transcripts b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+  WHERE a.role = 'user' AND b.role = 'assistant')
+SELECT strftime(ts_next, '%Y-%m-%d') AS day,
+  CAST(count(*) AS BIGINT) AS n_responses,
+  round(avg(lat_us) / 1000000, 6) AS avg_latency_s,
+  round(quantile_cont(lat_us, 0.5) / 1000000, 6) AS p50_latency_s,
+  round(quantile_cont(lat_us, 0.95) / 1000000, 6) AS p95_latency_s,
+  round(max(lat_us) / 1000000.0, 6) AS max_latency_s
+FROM pairs GROUP BY 1 ORDER BY day
+"""
+
+
+def q_cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association for two column pairs of the transcript
+    table: (role, has_tool) — near-deterministic by construction — and
+    (role, day-of-week) — independent. operators/drift.py cramers_v;
+    marginals are window sums over the r*c cell frame, one O(rows) pass
+    per pair."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        cramers_v,
+    )
+
+    t = spark.table("transcripts")
+    has_tool = F.col("tool").isNotNull().cast("string")
+    # engine-neutral day-of-week: days since Monday 1970-01-05, mod 7
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) % 7
+    ).cast("string")
+    a = cramers_v(t, F.col("role"), has_tool, "role:has_tool")
+    b = cramers_v(t, F.col("role"), dow, "role:dow")
+    return a.unionByName(b).orderBy("pair")
+
+
+_SQL_CRAMERS_V = f"""{_CTES},
+pairs AS (
+  SELECT 'role:has_tool' AS pair, role AS a,
+         CAST(tool IS NOT NULL AS VARCHAR) AS b
+  FROM transcripts
+  UNION ALL
+  SELECT 'role:dow', role,
+         CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+              AS VARCHAR)
+  FROM transcripts),
+cells AS (
+  SELECT pair, a, b, count(*) AS n_ab FROM pairs GROUP BY pair, a, b),
+m AS (
+  SELECT pair, n_ab,
+    sum(n_ab) OVER (PARTITION BY pair, a) AS row_tot,
+    sum(n_ab) OVER (PARTITION BY pair, b) AS col_tot,
+    sum(n_ab) OVER (PARTITION BY pair) AS n,
+    count(DISTINCT a) OVER (PARTITION BY pair) AS r,
+    count(DISTINCT b) OVER (PARTITION BY pair) AS c
+  FROM cells),
+agg AS (
+  -- only NONZERO cells exist in m; each zero cell contributes exp to
+  -- chi2 and sum(exp) over all r*c cells = n, hence the n + sum(...-exp)
+  SELECT pair,
+    CAST(max(n) AS BIGINT) AS n,
+    CAST(max(r) AS BIGINT) AS r,
+    CAST(max(c) AS BIGINT) AS c,
+    max(n) + sum((n_ab - row_tot * col_tot * 1.0 / n)
+        * (n_ab - row_tot * col_tot * 1.0 / n)
+        / (row_tot * col_tot * 1.0 / n)
+        - row_tot * col_tot * 1.0 / n) AS chi2_raw
+  FROM m GROUP BY pair)
+SELECT pair, n, r, c,
+  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+  round(chi2_raw, 6) AS chi2,
+  round(CASE WHEN least(r, c) > 1
+             THEN sqrt(chi2_raw / (n * (least(r, c) - 1))) END, 6)
+    AS cramers_v
+FROM agg ORDER BY pair
+"""
+
+
+def q_char_bigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram style drift between source and target corpora:
+    operators/text.py char_ngrams (JVM explode) composed with
+    operators/drift.py jensen_shannon — orthography-level drift the
+    token-level jsd misses."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        jensen_shannon,
+    )
+    from professional_services_data_validator_spark.operators.text import (
+        char_ngrams,
+    )
+
+    return jensen_shannon(
+        char_ngrams(spark.table("transcripts"), "text"),
+        char_ngrams(spark.table("transcripts_target"), "text"),
+        F.col("ng"),
+    )
+
+
+_SQL_CHAR_BIGRAM_JSD = f"""{_CTES},
+src AS (
+  SELECT substring(text, CAST(i AS INTEGER), 2) AS v, count(*) AS cnt
+  FROM transcripts, UNNEST(range(1, length(text))) AS g(i)
+  GROUP BY 1),
+tgt AS (
+  SELECT substring(text, CAST(i AS INTEGER), 2) AS v, count(*) AS cnt
+  FROM transcripts_target, UNNEST(range(1, length(text))) AS g(i)
+  GROUP BY 1),
+u AS (
+  SELECT coalesce(s.v, t.v) AS v,
+         coalesce(s.cnt, 0) AS n_s, coalesce(t.cnt, 0) AS n_t
+  FROM src s FULL OUTER JOIN tgt t ON s.v = t.v),
+cells AS (
+  SELECT n_s * 1.0 / sum(n_s) OVER () AS p,
+         n_t * 1.0 / sum(n_t) OVER () AS q,
+         sum(n_s) OVER () AS tot_s, sum(n_t) OVER () AS tot_t
+  FROM u)
+SELECT round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+                            ELSE 0 END)
+           + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+                            ELSE 0 END), 6) AS jsd,
+  CAST(max(tot_s) AS BIGINT) AS n_source,
+  CAST(max(tot_t) AS BIGINT) AS n_target
+FROM cells
+"""
+
+
+def q_conv_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-LENGTH distribution KS between source and target —
+    drift at conversation granularity (the %211 row deletions shorten
+    target conversations). Composes a per-conv count with
+    operators/drift.py ks_statistic; the KS window runs over distinct
+    lengths (bounded by max conversation length), never the corpus."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.drift import (
+        ks_statistic,
+    )
+
+    lens = lambda name: (  # noqa: E731 - local frame factory
+        spark.table(name)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    out = ks_statistic(
+        lens("transcripts"), lens("transcripts_target"), F.col("n_turns")
+    )
+    return out.select(
+        F.round("ks_stat", 6).alias("ks_stat"), "n_source", "n_target"
+    )
+
+
+_SQL_CONV_LENGTH_KS = f"""{_CTES},
+u AS (
+  SELECT v, sum(ns) AS n_s, sum(nt) AS n_t FROM (
+    SELECT count(*) AS v, 1 AS ns, 0 AS nt FROM transcripts GROUP BY conv_id
+    UNION ALL
+    SELECT count(*), 0, 1 FROM transcripts_target GROUP BY conv_id) z
+  GROUP BY v),
+c AS (SELECT
+   sum(n_s) OVER (ORDER BY v) AS cs, sum(n_t) OVER (ORDER BY v) AS ct,
+   sum(n_s) OVER () AS tot_s, sum(n_t) OVER () AS tot_t FROM u)
+SELECT CAST(round(max(abs(cs * 1.0 / tot_s - ct * 1.0 / tot_t)), 6)
+         AS DOUBLE) AS ks_stat,
+       CAST(max(tot_s) AS BIGINT) AS n_source,
+       CAST(max(tot_t) AS BIGINT) AS n_target
+FROM c
+"""
+
+
+_TRAINING_QUERIES.update(
+    {
+        "loop_detection": q_loop_detection,
+        "response_latency_by_day": q_response_latency,
+        "cramers_v_pairs": q_cramers_v_pairs,
+        "char_bigram_jsd": q_char_bigram_jsd,
+        "conv_length_ks": q_conv_length_ks,
+    }
+)
+_TRAINING_ORACLES.update(
+    {
+        "loop_detection": _SQL_LOOP_DETECTION,
+        "response_latency_by_day": _SQL_RESPONSE_LATENCY,
+        "cramers_v_pairs": _SQL_CRAMERS_V,
+        "char_bigram_jsd": _SQL_CHAR_BIGRAM_JSD,
+        "conv_length_ks": _SQL_CONV_LENGTH_KS,
+    }
+)

@@ -88,6 +88,11 @@ TRAINING_BENCH = [
     "string_length_profile",
     "grouped_null_rates",
     "duplication_by_day",
+    "loop_detection",
+    "response_latency_by_day",
+    "cramers_v_pairs",
+    "char_bigram_jsd",
+    "conv_length_ks",
 ]
 
 
@@ -110,7 +115,13 @@ def run_suite(
         if hasattr(entrymod, "bench_queries")
         else entrymod.queries()
     )
-    names = [n for n in ([only] if only else HEADLINE) if n in queries]
+    names = [
+        n
+        for n in (
+            [s.strip() for s in only.split(",")] if only else HEADLINE
+        )
+        if n in queries
+    ]
     # warm: session, parquet footers, AND the cached transcript derivation —
     # in production these are stored Iceberg tables; the timed region must
     # measure validation work, not fixture materialization.

@@ -195,6 +195,73 @@ def conversation_checks(
     )
 
 
+def loop_detection(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_run: int = 2,
+) -> DataFrame:
+    """Stuck-agent loop detector: find conversations where consecutive
+    turns repeat the same (role, text) verbatim — the classic failure mode
+    of an agent re-emitting the identical message/tool call in a loop.
+    No generic column or row validation in the reference catches this; it
+    is a transcript-semantic invariant like conversation_checks.
+
+    Plan: gaps-and-islands over a window PARTITIONED BY conv_id ORDERED BY
+    turn_idx (bounded by conversation length — never a global sort). A
+    turn is a repeat when (role, text) matches the previous turn
+    null-safely; islands are numbered by the running count of non-repeat
+    anchors; run lengths come from one groupBy on (conv_id, island).
+    Two linear shuffles on conv-keyed data — with the table bucketed by
+    conv_id the window needs no exchange at 100 TB, and hot conversations
+    are bounded by max conversation length, not corpus size.
+
+    Output (one row per conversation containing at least one run of
+    ``min_run`` identical consecutive turns):
+      (conv_id, n_turns, n_loop_runs, max_run_len, n_repeat_turns)
+    ordered by conv_id.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(role_col).alias("r"),
+        F.col(text_col).alias("x"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.col("r").eqNullSafe(F.lag("r").over(w))
+            & F.col("x").eqNullSafe(F.lag("x").over(w))
+        ).alias("is_rep"),
+    )
+    # island id = running count of non-repeat anchors (first row's NULL
+    # is_rep is an anchor too)
+    island = F.sum(F.when(F.col("is_rep"), 0).otherwise(1)).over(w)
+    runs = (
+        flagged.withColumn("island", island)
+        .groupBy("conv_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per_conv = runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_turns"),
+        F.count(F.when(F.col("run_len") >= min_run, 1)).alias("n_loop_runs"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+        F.sum(
+            F.when(F.col("run_len") >= 2, F.col("run_len") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_repeat_turns"),
+    )
+    return per_conv.filter(F.col("max_run_len") >= min_run).orderBy(
+        "conv_id"
+    )
+
+
 def role_transition_matrix(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -508,3 +508,74 @@ def psi_quantile_binned(
         )
         .orderBy("bin_idx")
     )
+
+
+def cramers_v(
+    source: DataFrame, col_a: Column, col_b: Column, label: str | None = None
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    column-PAIR member of the drift/association family (chi2_categorical
+    compares ONE column across two tables; this measures dependence
+    between TWO columns of one table, the profiling signal behind
+    "is `tool` a function of `role`?" / "does traffic mix shift by
+    weekday?").
+
+    V = sqrt(chi2 / (n * (min(r, c) - 1))) from the r x c contingency
+    table; V = 0 independent, V = 1 perfect association, NULL when the
+    table is degenerate (min(r, c) = 1).
+
+    Plan: ONE count aggregation to the r*c cell frame (the only
+    O(rows) pass), then marginals as window sums OVER THE CELL FRAME
+    (partitionBy row / column / whole-frame — r*c rows, never the corpus;
+    an agg + crossJoin of totals would re-execute the count subtree, the
+    same plan bug purged from psi/chi2/jsd), and one final fold. NULL
+    category values participate as their own level via null-safe grouping.
+
+    Output one row: (pair, n BIGINT, r, c, dof, chi2 6dp, cramers_v 6dp).
+    """
+    cells = source.groupBy(
+        col_a.alias("a"), col_b.alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    wt = Window.partitionBy()
+    m = cells.select(
+        "n_ab",
+        F.sum("n_ab").over(w_a).alias("row_tot"),
+        F.sum("n_ab").over(w_b).alias("col_tot"),
+        F.sum("n_ab").over(wt).alias("n"),
+        F.size(F.collect_set("a").over(wt)).alias("r"),
+        F.size(F.collect_set("b").over(wt)).alias("c"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    # the cell frame holds only NONZERO cells; a zero cell contributes
+    # (0 - exp)^2 / exp = exp, and sum(exp) over ALL r*c cells = n, so
+    # chi2 = n + sum_nonzero((obs - exp)^2 / exp - exp) — no dense
+    # r x c materialization needed
+    chi2 = F.max("n") + F.sum(
+        (F.col("n_ab") - exp) * (F.col("n_ab") - exp) / exp - exp
+    )
+    out = m.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("r").cast("long").alias("r"),
+        F.max("c").cast("long").alias("c"),
+        chi2.alias("_chi2"),
+    ).select(
+        F.lit(label or "a:b").alias("pair"),
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(
+            F.when(
+                F.least("r", "c") > 1,
+                F.sqrt(
+                    F.col("_chi2")
+                    / (F.col("n") * (F.least("r", "c") - 1))
+                ),
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+    return out

@@ -350,3 +350,73 @@ def turn_gap_stats(
         )
         .orderBy("day")
     )
+
+
+def response_latency(
+    df,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    from_role: str = "user",
+    to_role: str = "assistant",
+):
+    """Role-conditioned response-latency profile: per-day statistics of
+    the time between a ``from_role`` turn and the IMMEDIATELY following
+    ``to_role`` turn within a conversation — the serving-health view of
+    the transcript table (turn_gap_stats profiles every adjacent pair;
+    this isolates the user->assistant edge, i.e. how long the assistant
+    took to answer).
+
+    Same lag-free self-join plan as turn_gap_stats: the table joins to
+    itself on (key, order+1), co-partitioned on the conversation key
+    (shuffle-free at 100 TB with the table bucketed by conv_id); only
+    pairs matching (from_role -> to_role) survive, so the day aggregate
+    sees a role-filtered subset. Latencies are exact integer microseconds
+    (engine-exact; see turn_gap_stats) converted to seconds once at the
+    end; latency is attributed to the day of the RESPONSE turn.
+
+    Output per day (ordered):
+      (day, n_responses, avg_latency_s, p50_latency_s, p95_latency_s,
+       max_latency_s) — seconds at 6dp, exact percentiles (approx_percentile
+    is the 100-TB swap).
+    """
+    from pyspark.sql import functions as F
+
+    prev = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("i"),
+        F.col(role_col).alias("role_prev"),
+        F.col(ts_col).alias("ts_prev"),
+    )
+    nxt = df.select(
+        F.col(key_col).alias("k"),
+        (F.col(order_col) - 1).alias("i"),
+        F.col(role_col).alias("role_next"),
+        F.col(ts_col).alias("ts_next"),
+    )
+    pairs = prev.join(nxt, ["k", "i"]).filter(
+        (F.col("role_prev") == from_role) & (F.col("role_next") == to_role)
+    )
+    lat = (
+        F.unix_micros(F.col("ts_next").cast("timestamp"))
+        - F.unix_micros(F.col("ts_prev").cast("timestamp"))
+    ).alias("lat_us")
+    day = F.date_format("ts_next", "yyyy-MM-dd").alias("day")
+    us = F.lit(1e6)
+    return (
+        pairs.select(day, lat)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_responses"),
+            F.round(F.avg("lat_us") / us, 6).alias("avg_latency_s"),
+            F.round(F.percentile("lat_us", F.lit(0.5)) / us, 6).alias(
+                "p50_latency_s"
+            ),
+            F.round(F.percentile("lat_us", F.lit(0.95)) / us, 6).alias(
+                "p95_latency_s"
+            ),
+            F.round(F.max("lat_us") / us, 6).alias("max_latency_s"),
+        )
+        .orderBy("day")
+    )

@@ -746,3 +746,30 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+def char_ngrams(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Explode a text column into its character n-grams (one output row
+    per n-gram occurrence, column ``ng``) — the feature extractor behind
+    corpus-level STYLE drift: where token-level drift (psi/jsd on words)
+    tracks vocabulary, character n-gram distributions track orthography
+    (casing, punctuation, scripts, encodings), so a silently re-encoded
+    or re-templated target corpus moves the char-bigram distribution even
+    when the token vocabulary is stable.
+
+    JVM-only: sequence + transform + substring + explode inside
+    whole-stage codegen — no Python in the per-character hot path. Rows
+    shorter than ``n`` characters contribute nothing (guarded: Spark's
+    sequence(1, 0) would generate a DESCENDING range, not an empty one).
+    The downstream consumer is a count aggregation, so nothing
+    materializes the exploded frame.
+    """
+    c = F.col(text_col)
+    grams = F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: F.substring(c, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.explode(grams).alias("ng"))

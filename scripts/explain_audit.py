@@ -492,6 +492,38 @@ NOTES = {
         "ONE moment fold (sum x/y/xy/x2/y2), so nothing after the count "
         "aggregate exceeds O(vocab)."
     ),
+    "loop_detection": (
+        "Stuck-loop detector: gaps-and-islands over a window PARTITIONED "
+        "BY conv_id (sort bounded by conversation length, never global), "
+        "then two conv-keyed aggregates — with the table bucketed by "
+        "conv_id the window needs no exchange; no self-join, no Python."
+    ),
+    "response_latency_by_day": (
+        "Response latency: the lag-free (conv, turn+1) self-join "
+        "(co-partitioned on conv_id, shuffle-free when bucketed), "
+        "role-filtered BEFORE the day aggregate; exact integer-micro "
+        "arithmetic; percentiles buffer per-day values (approx_percentile "
+        "is the 100-TB swap, same as turn_gap_stats)."
+    ),
+    "cramers_v_pairs": (
+        "Cramér's V: ONE O(rows) count aggregate per pair to the r*c "
+        "cell frame; marginals/totals/level-counts are window sums OVER "
+        "THE CELL FRAME (r*c rows); zero cells are folded in closed form "
+        "(chi2 = n + sum(term - exp)), so no dense r*c materialization "
+        "and no crossJoin of totals."
+    ),
+    "char_bigram_jsd": (
+        "Char-bigram style drift: sequence+transform+substring+explode "
+        "inside whole-stage codegen (no Python per character), counts "
+        "aggregate map-side to the O(alphabet^2) vocab frame; JSD totals "
+        "are whole-frame window sums over that k-row frame — each corpus "
+        "is scanned exactly once."
+    ),
+    "conv_length_ks": (
+        "Conv-length KS: per-conv counts (one shuffle per side, partial "
+        "map-side), KS cumsum window over DISTINCT lengths (bounded by "
+        "max conversation length, never corpus rows)."
+    ),
 }
 
 

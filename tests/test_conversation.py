@@ -153,3 +153,49 @@ def test_role_transition_matrix_no_window_sort(spark):
     assert agg_pos != -1
     opt = q._jdf.queryExecution().optimizedPlan().toString()
     assert opt.index("Window") < opt.index("Join")  # window above the join/agg subtree
+
+
+def test_loop_detection_planted_runs(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        loop_detection,
+    )
+
+    rows = [
+        # c1: turns 1-3 identical assistant "X" -> run of 3; plus a
+        # 2-run of "Y" at turns 5-6 (below min_run=3, still counted in
+        # n_repeat_turns)
+        ("c1", 0, "user", "q"),
+        ("c1", 1, "assistant", "X"),
+        ("c1", 2, "assistant", "X"),
+        ("c1", 3, "assistant", "X"),
+        ("c1", 4, "user", "ok"),
+        ("c1", 5, "assistant", "Y"),
+        ("c1", 6, "assistant", "Y"),
+        # c2: same text but alternating roles -> no repeat pair
+        ("c2", 0, "user", "Z"),
+        ("c2", 1, "assistant", "Z"),
+        ("c2", 2, "user", "Z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["conv_id"]: r for r in loop_detection(df, min_run=3).collect()}
+    assert list(out) == ["c1"]
+    r = out["c1"]
+    assert r["n_turns"] == 7
+    assert r["n_loop_runs"] == 1  # only the 3-run clears min_run
+    assert r["max_run_len"] == 3
+    assert r["n_repeat_turns"] == 3  # (3-1) from X-run + (2-1) from Y-run
+
+
+def test_loop_detection_null_text_is_nullsafe(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        loop_detection,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 0, "assistant", None), ("c1", 1, "assistant", None)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = loop_detection(df, min_run=2).collect()
+    assert len(r) == 1 and r[0]["max_run_len"] == 2

@@ -229,3 +229,39 @@ def test_schema_report_shape(spark, transcripts):
         r.validation_status == "fail" and r.target_column_name == "extra"
         for r in mismatched
     )
+
+
+def test_cramers_v_extremes(spark):
+    from professional_services_data_validator_spark.operators.drift import (
+        cramers_v,
+    )
+
+    # perfect 2x2 association -> V = 1; constant column -> NULL (dof 0)
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")] * 3,
+        "u string, v string",
+    )
+    r = cramers_v(df, F.col("u"), F.col("v"), "u:v").collect()[0]
+    assert r["pair"] == "u:v" and r["n"] == 12
+    assert r["r"] == 2 and r["c"] == 2 and r["dof"] == 1
+    assert r["cramers_v"] == 1.0
+
+    const = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "u string, v string"
+    )
+    r2 = cramers_v(const, F.col("u"), F.col("v")).collect()[0]
+    assert r2["cramers_v"] is None and r2["chi2"] == 0.0
+
+
+def test_char_ngrams_short_rows_contribute_nothing(spark):
+    from professional_services_data_validator_spark.operators.text import (
+        char_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "x"), (3, ""), (4, None)], "id long, text string"
+    )
+    got = sorted(
+        r["ng"] for r in char_ngrams(df, "text").collect()
+    )
+    assert got == ["ab", "bc"]

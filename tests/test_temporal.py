@@ -189,3 +189,33 @@ def test_calendar_completeness_gaps_and_ranges(spark):
     assert calendar_completeness(
         df.filter("k = 'b'"), "ts", ["k"]
     ).count() == 0
+
+
+def test_response_latency_role_conditioned(spark):
+    from professional_services_data_validator_spark.operators.temporal import (
+        response_latency,
+    )
+
+    rows = [
+        # user@0s -> assistant@3s : latency 3 s on assistant's day
+        ("c1", 0, "user", datetime.datetime(2026, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", datetime.datetime(2026, 1, 1, 0, 0, 3)),
+        # assistant -> tool pair must NOT count
+        ("c1", 2, "tool", datetime.datetime(2026, 1, 1, 0, 0, 9)),
+        # user@10s -> assistant@17s : latency 7 s
+        ("c1", 3, "user", datetime.datetime(2026, 1, 1, 0, 0, 10)),
+        ("c1", 4, "assistant", datetime.datetime(2026, 1, 1, 0, 0, 17)),
+        # user turn with NO following assistant turn: no pair
+        ("c2", 0, "user", datetime.datetime(2026, 1, 2, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    out = response_latency(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["day"] == "2026-01-01"
+    assert r["n_responses"] == 2
+    assert r["avg_latency_s"] == 5.0
+    assert r["p50_latency_s"] == 5.0  # interpolated between 3 and 7
+    assert r["max_latency_s"] == 7.0
