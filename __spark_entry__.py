@@ -5090,3 +5090,168 @@ _TRAINING_ORACLES.update(
         "conv_length_ks": _SQL_CONV_LENGTH_KS,
     }
 )
+
+
+def q_role_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation NLL under the corpus's own role-transition model —
+    operators/conversation.py role_sequence_anomaly; the (conv, prev,
+    next) cell frame is persisted (two consumers), the |roles|^2 model
+    joins back broadcast."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.conversation import (
+        role_sequence_anomaly,
+    )
+
+    return role_sequence_anomaly(spark.table("transcripts"))
+
+
+_SQL_ROLE_SEQ_ANOMALY = f"""{_CTES},
+cc AS (
+  SELECT a.conv_id, a.role AS prev_role, b.role AS next_role,
+         count(*) AS cnt
+  FROM transcripts a
+  JOIN transcripts b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+  GROUP BY 1, 2, 3),
+model AS (
+  SELECT prev_role, next_role,
+         sum(cnt) * 1.0 / sum(sum(cnt)) OVER (PARTITION BY prev_role) AS p
+  FROM cc GROUP BY prev_role, next_role),
+scored AS (
+  SELECT cc.conv_id, cc.cnt, -ln(model.p) AS nll
+  FROM cc JOIN model USING (prev_role, next_role))
+SELECT conv_id,
+  CAST(sum(cnt) AS BIGINT) AS n_pairs,
+  round(sum(cnt * nll) / sum(cnt), 6) AS avg_nll,
+  round(max(nll), 6) AS max_nll
+FROM scored GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_violation_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-interval gate on the per-day violation rate between
+    transcripts and the defect-injected target —
+    operators/row_compare.py violation_rate_gate; fails only when the
+    interval's LOWER bound clears the tolerated rate."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.row_compare import (
+        violation_rate_gate,
+    )
+
+    return violation_rate_gate(
+        spark.table("transcripts"),
+        spark.table("transcripts_target"),
+        ["conv_id", "turn_idx"],
+        ["text", "tool"],
+        threshold=0.003,
+    )
+
+
+_SQL_VIOLATION_RATE_GATE = f"""{_CTES},
+j AS (
+  SELECT coalesce(s.ts, t.ts) AS d,
+    CASE WHEN s.conv_id IS NULL OR t.conv_id IS NULL
+           OR s.text IS DISTINCT FROM t.text
+           OR s.tool IS DISTINCT FROM t.tool
+         THEN 1 ELSE 0 END AS v
+  FROM transcripts s
+  FULL OUTER JOIN transcripts_target t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx),
+g AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(v) AS BIGINT) AS n_violations
+  FROM j GROUP BY 1)
+SELECT day, n_rows, n_violations,
+  round(n_violations * 1.0 / n_rows, 6) AS rate,
+  round((n_violations * 1.0 / n_rows + 1.96 * 1.96 / (2 * n_rows)
+         - 1.96 * sqrt((n_violations * 1.0 / n_rows)
+                       * (1 - n_violations * 1.0 / n_rows) / n_rows
+                       + 1.96 * 1.96 / (4 * n_rows * n_rows)))
+        / (1 + 1.96 * 1.96 / n_rows), 6) AS wilson_lower,
+  round((n_violations * 1.0 / n_rows + 1.96 * 1.96 / (2 * n_rows)
+         + 1.96 * sqrt((n_violations * 1.0 / n_rows)
+                       * (1 - n_violations * 1.0 / n_rows) / n_rows
+                       + 1.96 * 1.96 / (4 * n_rows * n_rows)))
+        / (1 + 1.96 * 1.96 / n_rows), 6) AS wilson_upper,
+  CASE WHEN (n_violations * 1.0 / n_rows + 1.96 * 1.96 / (2 * n_rows)
+             - 1.96 * sqrt((n_violations * 1.0 / n_rows)
+                           * (1 - n_violations * 1.0 / n_rows) / n_rows
+                           + 1.96 * 1.96 / (4 * n_rows * n_rows)))
+            / (1 + 1.96 * 1.96 / n_rows) > 0.003
+       THEN 'fail' ELSE 'success' END AS validation_status
+FROM g ORDER BY day
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point localization on per-(role, day) row counts with
+    a planted level shift (a third of assistant rows dropped from
+    2024-01-16 on) — operators/temporal.py cusum_changepoint; windows run
+    over the O(days) series, never corpus rows."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.temporal import (
+        cusum_changepoint,
+    )
+
+    t = spark.table("transcripts")
+    planted = t.filter(
+        ~(
+            (F.col("role") == "assistant")
+            & (F.col("ts") >= "2024-01-16")
+            & (F.col("event_id") % 3 == 0)
+        )
+    )
+    series = planted.groupBy(
+        "role", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cusum_changepoint(series, ["role"], "day", "n")
+
+
+_SQL_CUSUM_CHANGEPOINT = f"""{_CTES},
+planted AS (
+  SELECT * FROM transcripts
+  WHERE NOT (role = 'assistant' AND ts >= TIMESTAMP '2024-01-16'
+             AND event_id % 3 = 0)),
+series AS (
+  SELECT role, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+  FROM planted GROUP BY 1, 2),
+staged0 AS (
+  SELECT role, day, n,
+    avg(n) OVER (PARTITION BY role) AS mean,
+    stddev_samp(n) OVER (PARTITION BY role) AS std,
+    count(*) OVER (PARTITION BY role) AS n_pts
+  FROM series),
+staged AS (
+  SELECT role, day, mean, std, n_pts,
+    abs(sum(n - mean) OVER (PARTITION BY role ORDER BY day)) AS abs_s
+  FROM staged0),
+m AS (SELECT *, max(abs_s) OVER (PARTITION BY role) AS max_s FROM staged)
+SELECT role,
+  CAST(max(n_pts) AS BIGINT) AS n_points,
+  round(max(mean), 6) AS mean,
+  round(CASE WHEN max(std) > 0
+             THEN max(max_s) / (max(std) * sqrt(max(n_pts))) END, 6)
+    AS cusum_stat,
+  min(CASE WHEN abs_s = max_s THEN day END) AS changepoint,
+  coalesce(CASE WHEN max(std) > 0
+                THEN max(max_s) / (max(std) * sqrt(max(n_pts))) > 1.358
+           END, FALSE) AS drifted
+FROM m GROUP BY role ORDER BY role
+"""
+
+
+_TRAINING_QUERIES.update(
+    {
+        "role_sequence_anomaly": q_role_sequence_anomaly,
+        "violation_rate_gate": q_violation_rate_gate,
+        "cusum_changepoint": q_cusum_changepoint,
+    }
+)
+_TRAINING_ORACLES.update(
+    {
+        "role_sequence_anomaly": _SQL_ROLE_SEQ_ANOMALY,
+        "violation_rate_gate": _SQL_VIOLATION_RATE_GATE,
+        "cusum_changepoint": _SQL_CUSUM_CHANGEPOINT,
+    }
+)

@@ -93,6 +93,9 @@ TRAINING_BENCH = [
     "cramers_v_pairs",
     "char_bigram_jsd",
     "conv_length_ks",
+    "role_sequence_anomaly",
+    "violation_rate_gate",
+    "cusum_changepoint",
 ]
 
 

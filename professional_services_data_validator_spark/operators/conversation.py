@@ -305,3 +305,72 @@ def role_transition_matrix(
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.round(F.col("n_pairs") / tot, 6).alias("p"),
     ).orderBy("prev_role", "next_role")
+
+
+def role_sequence_anomaly(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Sequence-level anomaly score: each conversation's role sequence is
+    scored under the corpus's own empirical Markov transition model — the
+    per-conversation generalization of role_transition_matrix (that emits
+    the model; this asks "which conversations is the model most surprised
+    by?"). avg_nll = mean over the conversation's adjacent (prev -> next)
+    edges of -ln P(next | prev); max_nll is its rarest single edge. High
+    scores surface structurally unusual conversations (bot loops, replay
+    artifacts, scraped non-dialogue) without any labeled rule set.
+
+    Plan: adjacent pairs via the (conv, turn+1) equi-join, aggregated
+    ONCE to the (conv, prev, next) cell frame, which is persisted — it
+    feeds both the model aggregation and the scoring join, and without
+    the persist the O(rows) pair subtree would execute twice (the
+    crossJoin-totals lesson; same multi-consumer pattern as
+    split_balance). The model is |roles|^2 rows with its denominator as
+    a window sum over that tiny frame; scoring joins it back BROADCAST,
+    so the corpus-sized side never shuffles again.
+
+    Output: (conv_id, n_pairs, avg_nll 6dp, max_nll 6dp) for EVERY
+    conversation with at least one adjacent pair, ordered by conv_id —
+    thresholding is the caller's policy (round-trips through
+    metric_anomalies or a plain filter).
+    """
+    from pyspark.sql import Window
+
+    conv, turn, role = F.col(conv_col), F.col(turn_col), F.col(role_col)
+    left = df.select(
+        conv.alias("conv_id"), turn.alias("t"), role.alias("prev_role")
+    )
+    right = df.select(
+        conv.alias("conv_id"), (turn - 1).alias("t"), role.alias("next_role")
+    )
+    cc = (
+        left.join(right, ["conv_id", "t"])
+        .groupBy("conv_id", "prev_role", "next_role")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    w_prev = Window.partitionBy("prev_role")
+    model = (
+        cc.groupBy("prev_role", "next_role")
+        .agg(F.sum("cnt").alias("n_edge"))
+        .select(
+            "prev_role",
+            "next_role",
+            (F.col("n_edge") / F.sum("n_edge").over(w_prev)).alias("p"),
+        )
+    )
+    scored = cc.join(F.broadcast(model), ["prev_role", "next_role"])
+    nll = -F.log(F.col("p"))
+    return (
+        scored.groupBy("conv_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pairs"),
+            F.round(F.sum(F.col("cnt") * nll) / F.sum("cnt"), 6).alias(
+                "avg_nll"
+            ),
+            F.round(F.max(nll), 6).alias("max_nll"),
+        )
+        .orderBy("conv_id")
+    )

@@ -334,3 +334,96 @@ def row_compare_verdicts(
             ).otherwise(F.lit(consts.VALIDATION_STATUS_FAIL)),
         )
     )
+
+
+def violation_rate_gate(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    compare_cols: list[str],
+    day_col: str = "ts",
+    threshold: float = 0.01,
+    z: float = 1.96,
+) -> DataFrame:
+    """Statistical pass/fail gate on the per-day row-violation RATE: a raw
+    rate of 3/100 and 3/1,000,000 carry very different evidence, so the
+    verdict compares the WILSON SCORE upper confidence bound — not the
+    point estimate — against the tolerated rate. Small partitions only
+    fail when they contain enough evidence; huge partitions fail on tiny
+    but statistically solid violation rates. (The reference gates on
+    point-estimate thresholds only, combiner.py status logic; the interval
+    gate is the scale extension — at 10^12 turns per-partition sample
+    sizes vary by orders of magnitude.)
+
+    A violation is a PK present on only one side, or any compare column
+    differing null-safely. Plan: one full-outer join on the PKs (the same
+    shape as row_violations — shuffle-free when both sides are bucketed
+    by PK), then ONE day aggregate; the Wilson bounds
+    (p + z^2/2n -/+ z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n)
+    are closed-form per group, no second pass. The verdict fails when
+    the LOWER bound clears ``threshold`` (solid evidence of excess);
+    the upper bound is reported so callers can distinguish "certified
+    clean" (upper <= threshold) from "insufficient evidence".
+
+    Output per day (ordered): (day, n_rows, n_violations, rate 6dp,
+    wilson_lower 6dp, wilson_upper 6dp, validation_status).
+    """
+    from ..config import consts
+
+    s = source.select(
+        *[F.col(k).alias(f"__pk_{k}") for k in primary_keys],
+        *[F.col(c).alias(f"__s_{c}") for c in compare_cols],
+        F.col(day_col).alias("__s_day"),
+        F.lit(1).alias("__s_present"),
+    )
+    t = target.select(
+        *[F.col(k).alias(f"__pk_{k}") for k in primary_keys],
+        *[F.col(c).alias(f"__t_{c}") for c in compare_cols],
+        F.col(day_col).alias("__t_day"),
+        F.lit(1).alias("__t_present"),
+    )
+    j = s.join(t, [f"__pk_{k}" for k in primary_keys], "full_outer")
+    mismatch = F.lit(False)
+    for c in compare_cols:
+        mismatch = mismatch | ~F.col(f"__s_{c}").eqNullSafe(F.col(f"__t_{c}"))
+    viol = (
+        F.col("__s_present").isNull()
+        | F.col("__t_present").isNull()
+        | mismatch
+    )
+    day = F.date_format(
+        F.coalesce("__s_day", "__t_day"), "yyyy-MM-dd"
+    ).alias("day")
+    g = (
+        j.select(day, viol.cast("int").alias("v"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("n_violations"),
+        )
+    )
+    n = F.col("n_rows")
+    p = F.col("n_violations") / n
+    z2 = F.lit(z * z)
+    half = z2 / (2 * n)
+    margin = F.lit(z) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    denom = 1 + z2 / n
+    wilson_lower = (p + half - margin) / denom
+    wilson_upper = (p + half + margin) / denom
+    # fail only on EVIDENCE: the interval's lower bound must clear the
+    # tolerated rate (gating on the upper bound would fail every small
+    # partition as merely "uncertifiable")
+    return g.select(
+        "day",
+        "n_rows",
+        "n_violations",
+        F.round(p, 6).alias("rate"),
+        F.round(wilson_lower, 6).alias("wilson_lower"),
+        F.round(wilson_upper, 6).alias("wilson_upper"),
+        F.when(
+            wilson_lower > threshold,
+            F.lit(consts.VALIDATION_STATUS_FAIL),
+        )
+        .otherwise(F.lit(consts.VALIDATION_STATUS_SUCCESS))
+        .alias("validation_status"),
+    ).orderBy("day")

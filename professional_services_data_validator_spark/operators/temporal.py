@@ -420,3 +420,68 @@ def response_latency(
         )
         .orderBy("day")
     )
+
+
+def cusum_changepoint(
+    series,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    threshold: float = 1.358,
+):
+    """CUSUM change-point localization over a per-key metric time series:
+    WHERE did the level shift? (metric_anomalies flags WHICH observations
+    deviate from their own trailing window; this finds the single most
+    likely structural break over the whole series — the
+    Pettitt/CUSUM-style complement.)
+
+    For each key: S_i = cumsum(x - mean(x)); the change point is the
+    order value maximizing |S_i| and the test statistic is
+    max|S_i| / (std * sqrt(n)) — under no-change this is asymptotically
+    the Kolmogorov distribution, so 1.358 corresponds to alpha = 0.05.
+    Constant series (std = 0) emit NULL stat and never drift.
+
+    Input is an ALREADY-AGGREGATED series (e.g. per-day row counts from
+    one groupBy — O(days x keys) rows), so every window here partitions
+    by key over series-length frames, never corpus rows. One shuffle
+    keyed on the series keys; ties on max|S_i| break to the earliest
+    order value.
+
+    Output per key (ordered by keys):
+      (keys..., n_points, mean 6dp, cusum_stat 6dp, changepoint,
+       drifted boolean).
+    """
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    wk = Window.partitionBy(*key_cols)
+    wo = wk.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col)
+    staged = series.select(
+        *key_cols,
+        F.col(order_col).alias("__o"),
+        F.abs(
+            F.sum(x - F.avg(x).over(wk)).over(wo)
+        ).alias("__abs_s"),
+        F.avg(x).over(wk).alias("__mean"),
+        F.stddev_samp(x).over(wk).alias("__std"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    ).withColumn("__max_s", F.max("__abs_s").over(wk))
+    stat = F.when(
+        F.max("__std") > 0,
+        F.max("__max_s") / (F.max("__std") * F.sqrt(F.max("__n"))),
+    )
+    return (
+        staged.groupBy(*key_cols)
+        .agg(
+            F.max("__n").cast("long").alias("n_points"),
+            F.round(F.max("__mean"), 6).alias("mean"),
+            F.round(stat, 6).alias("cusum_stat"),
+            F.min(
+                F.when(F.col("__abs_s") == F.col("__max_s"), F.col("__o"))
+            ).alias("changepoint"),
+            (F.coalesce(stat > threshold, F.lit(False))).alias("drifted"),
+        )
+        .orderBy(*key_cols)
+    )

@@ -524,6 +524,23 @@ NOTES = {
         "map-side), KS cumsum window over DISTINCT lengths (bounded by "
         "max conversation length, never corpus rows)."
     ),
+    "role_sequence_anomaly": (
+        "Sequence anomaly: the (conv, prev, next) cell frame is built "
+        "once and PERSISTED (two consumers — model + scoring; without it "
+        "the O(rows) pair join would execute twice); the |roles|^2 model "
+        "joins back BROADCAST, so the corpus-sized side never reshuffles."
+    ),
+    "violation_rate_gate": (
+        "Wilson gate: ONE full-outer PK join (row_violations shape, "
+        "shuffle-free when bucketed) + ONE day aggregate; both interval "
+        "bounds are closed-form per group — no second pass, no collect."
+    ),
+    "cusum_changepoint": (
+        "CUSUM: input is the already-aggregated O(days x keys) series; "
+        "all windows partition by key over series-length frames. The one "
+        "O(rows) pass is the groupBy(role, day) count with map-side "
+        "partials."
+    ),
 }
 
 

@@ -199,3 +199,29 @@ def test_loop_detection_null_text_is_nullsafe(spark):
     )
     r = loop_detection(df, min_run=2).collect()
     assert len(r) == 1 and r[0]["max_run_len"] == 2
+
+
+def test_role_sequence_anomaly_scores_rare_edges(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        role_sequence_anomaly,
+    )
+    import math
+
+    # corpus: 3 convs of user->assistant->user (common edges) + 1 conv
+    # with a user->user edge (rare) — the rare conv must score highest
+    rows = []
+    for i, c in enumerate(["c1", "c2", "c3"]):
+        rows += [(c, 0, "user"), (c, 1, "assistant"), (c, 2, "user")]
+    rows += [("c9", 0, "user"), ("c9", 1, "user")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string"
+    )
+    out = {r["conv_id"]: r for r in role_sequence_anomaly(df).collect()}
+    assert set(out) == {"c1", "c2", "c3", "c9"}
+    # edges from 'user': 3x ->assistant, 1x ->user  => p(u->u) = 1/4
+    assert out["c9"]["n_pairs"] == 1
+    assert out["c9"]["avg_nll"] == round(-math.log(1 / 4), 6)
+    # common convs: edges u->a (p=3/4) and a->u (p=1)
+    expect = round((-math.log(3 / 4) - math.log(1.0)) / 2, 6)
+    assert out["c1"]["avg_nll"] == expect
+    assert out["c9"]["avg_nll"] > out["c1"]["avg_nll"]

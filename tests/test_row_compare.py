@@ -216,3 +216,45 @@ def test_referential_broadcast_plan(spark, transcripts):
     dim = spark.table("dim_conversations")
     plan = referential_violations(transcripts, dim, "conv_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_violation_rate_gate_fails_on_evidence_not_uncertainty(spark):
+    from professional_services_data_validator_spark.operators.row_compare import (
+        violation_rate_gate,
+    )
+    import datetime
+
+    d1 = datetime.datetime(2026, 1, 1)
+    d2 = datetime.datetime(2026, 1, 2)
+    # day 1: 200 rows, 50 violations (25% - solid evidence) -> fail
+    # day 2: 3 rows, 0 violations (tiny sample, certifies nothing) -> success
+    src = [(f"c{i}", 0, f"t{i}", d1) for i in range(200)]
+    src += [(f"x{i}", 0, f"t{i}", d2) for i in range(3)]
+    tgt = [
+        (f"c{i}", 0, ("MUT" if i < 50 else f"t{i}"), d1) for i in range(200)
+    ]
+    tgt += [(f"x{i}", 0, f"t{i}", d2) for i in range(3)]
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    out = {
+        r["day"]: r
+        for r in violation_rate_gate(
+            spark.createDataFrame(src, schema),
+            spark.createDataFrame(tgt, schema),
+            ["conv_id", "turn_idx"],
+            ["text"],
+            threshold=0.01,
+        ).collect()
+    }
+    assert out["2026-01-01"]["validation_status"] == "fail"
+    assert out["2026-01-01"]["n_violations"] == 50
+    assert out["2026-01-02"]["validation_status"] == "success"
+    assert out["2026-01-02"]["wilson_lower"] == 0.0
+    # missing row counts as a violation
+    src2 = spark.createDataFrame(src[:10], schema)
+    tgt2 = spark.createDataFrame(
+        [r for r in tgt[:10] if r[0] != "c3"], schema
+    )
+    r = violation_rate_gate(
+        src2, tgt2, ["conv_id", "turn_idx"], ["text"]
+    ).collect()[0]
+    assert r["n_rows"] == 10 and r["n_violations"] > 0

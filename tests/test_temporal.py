@@ -219,3 +219,22 @@ def test_response_latency_role_conditioned(spark):
     assert r["avg_latency_s"] == 5.0
     assert r["p50_latency_s"] == 5.0  # interpolated between 3 and 7
     assert r["max_latency_s"] == 7.0
+
+
+def test_cusum_changepoint_localizes_level_shift(spark):
+    from professional_services_data_validator_spark.operators.temporal import (
+        cusum_changepoint,
+    )
+
+    # key A: level 10 for 10 days then 20 for 10 days -> break at day 09
+    # key B: constant -> NULL stat, never drifts
+    rows = [("A", f"d{i:02d}", 10.0 if i < 10 else 20.0) for i in range(20)]
+    rows += [("B", f"d{i:02d}", 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, day string, v double")
+    out = {r["k"]: r for r in cusum_changepoint(df, ["k"], "day", "v").collect()}
+    a = out["A"]
+    assert a["n_points"] == 20 and a["mean"] == 15.0
+    assert a["changepoint"] == "d09"  # |cusum| peaks at the last pre-shift day
+    assert a["drifted"] is True
+    b = out["B"]
+    assert b["cusum_stat"] is None and b["drifted"] is False
