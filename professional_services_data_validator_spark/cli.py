@@ -17,6 +17,8 @@ Three entry styles (all through ``main``):
     psdv-spark validate column --sum '*' --count '*' \
         --grouped-columns ts --source-path ... --target-path ...
     psdv-spark validate row --primary-keys conv_id,turn_idx --hash '*' ...
+    #    --rate-gate ts:0.003 adds a per-day Wilson-interval violation-rate
+    #    section (fails only on statistical evidence of excess)
     psdv-spark validate schema --allow-list 'int:bigint' ...
     psdv-spark validate custom-query --source-query 'SELECT ...' ...
 
@@ -39,7 +41,9 @@ Three entry styles (all through ``main``):
         --quality-min 0.55 --keep-only --output curated/
 
     # 7. one-table data profile (engine extension): cardinalities, nulls,
-    #    heavy hitters, numeric percentiles; --approx = sketch paths
+    #    heavy hitters, numeric percentiles; --approx = sketch paths;
+    #    --sequence conv:turn:role:text adds stuck-loop + transition-model
+    #    anomaly sections over conversation tables
     psdv-spark profile --source-path t/ --top-k 5 --output prof/
 
     # 8. incremental validation between two versions of one table
@@ -210,6 +214,14 @@ def _add_validate_flags(p: argparse.ArgumentParser, vtype: str) -> None:
         )
         p.add_argument("--trim-string-pks", action="store_true")
         p.add_argument("--case-insensitive-match", action="store_true")
+        p.add_argument(
+            "--rate-gate", default=None, metavar="DAY_COL[:THRESHOLD]",
+            help="row validation only: append a per-day Wilson-interval "
+            "violation-rate gate section (operators/row_compare.py "
+            "violation_rate_gate); a day fails — and the job exits 1 — "
+            "only when the interval's LOWER bound clears THRESHOLD "
+            "(default 0.01)",
+        )
     if vtype == "schema":
         p.add_argument(
             "--allow-list", default=None,
@@ -462,6 +474,17 @@ def build_parser() -> argparse.ArgumentParser:
                       help="column pairs 'a:b[,c:d]': add a functional-"
                       "dependency violation section (does a determine b; "
                       "operators/aggregates.py fd_violations)")
+    prof.add_argument("--sequence", default=None,
+                      metavar="CONV:TURN:ROLE[:TEXT]",
+                      help="conversation-sequence sections: stuck-loop "
+                      "detection (needs TEXT; operators/conversation.py "
+                      "loop_detection) and per-conversation transition-"
+                      "model anomaly scores (role_sequence_anomaly); "
+                      "each section shows the top rows by severity")
+    prof.add_argument("--sequence-top", type=int, default=50,
+                      help="rows kept per sequence section (the full "
+                      "frames are corpus-sized; the CLI is a diagnostic "
+                      "view)")
 
     # snapshot-diff: incremental validation between two versions of the
     # same table (operators/snapshot.py; the Iceberg snapshot-to-snapshot
@@ -1152,6 +1175,55 @@ def _execute_job(args: argparse.Namespace, cfg_dict: dict) -> int:
             ).count()
             > 0
         )
+
+        gate_spec = getattr(args, "rate_gate", None)
+        if (
+            gate_spec
+            and config.validation_type == consts.ROW_VALIDATION
+            and source is not None
+        ):
+            from .operators.row_compare import violation_rate_gate
+
+            day_col, _, thr = gate_spec.partition(":")
+            cmp_cols = [c.column for c in config.comparison_fields] or [
+                c
+                for c in source.columns
+                if c not in config.primary_keys
+                and c != day_col
+                and c in target.columns
+                and (
+                    (config.hash_columns or "*") == "*"
+                    or c in config.hash_columns
+                )
+            ]
+            gate = violation_rate_gate(
+                source,
+                target,
+                config.primary_keys,
+                cmp_cols,
+                day_col=day_col,
+                threshold=float(thr) if thr else 0.01,
+            ).persist()
+            try:
+                print("\n== violation-rate gate (Wilson 95%) ==")
+                print(
+                    report_to_text(
+                        gate,
+                        cols=gate.columns,
+                        fmt=getattr(args, "format", "table"),
+                    )
+                )
+                failed = failed or (
+                    gate.filter(
+                        F.col("validation_status")
+                        == consts.VALIDATION_STATUS_FAIL
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            finally:
+                gate.unpersist()
     finally:
         report.unpersist()
     if not preexisting:  # don't stop a session the caller owns
@@ -1371,6 +1443,33 @@ def _run_profile(args: argparse.Namespace) -> int:
         for other in fd_frames[1:]:
             out_fd = out_fd.unionByName(other)
         sections["fd_violations"] = out_fd
+    seq = getattr(args, "sequence", None)
+    if seq:
+        from .operators.conversation import (
+            loop_detection,
+            role_sequence_anomaly,
+        )
+
+        parts = seq.split(":")
+        if len(parts) not in (3, 4):
+            raise SystemExit(
+                f"--sequence needs conv:turn:role[:text], got {seq!r}"
+            )
+        conv_c, turn_c, role_c = parts[:3]
+        top = args.sequence_top
+        if len(parts) == 4:
+            sections["loops"] = (
+                loop_detection(df, conv_c, turn_c, role_c, parts[3])
+                .orderBy(
+                    F.desc("max_run_len"), F.desc("n_repeat_turns"), "conv_id"
+                )
+                .limit(top)
+            )
+        sections["sequence_anomaly"] = (
+            role_sequence_anomaly(df, conv_c, turn_c, role_c)
+            .orderBy(F.desc("avg_nll"), "conv_id")
+            .limit(top)
+        )
     if num_cols:
         profs = [
             numeric_profile(df, [], c, mode=mode).select(

@@ -396,3 +396,46 @@ def test_spark_submit_py_files(spark):
         )
         assert out.returncode == 1, out.stderr[-2000:]
         assert "validation_name" in out.stdout
+
+
+def test_cli_rate_gate_and_profile_sequence(spark, capsys):
+    """validate row --rate-gate prints the Wilson section and drives the
+    exit code by evidence; profile --sequence emits the loop +
+    sequence-anomaly sections."""
+    from professional_services_data_validator_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_fixtures(spark, d)
+        io = ["--source-path", d + "/src", "--target-path", d + "/tgt"]
+        base = [
+            "validate", "row",
+            "--primary-keys", "conv_id,turn_idx",
+            "--hash", "*",
+            "--filter-status", "fail",
+        ] + io
+        # lenient tolerance: gate passes but the report still fails (rc 1)
+        rc = main(base + ["--rate-gate", "ts:0.5"])
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert "violation-rate gate" in out
+        assert "wilson_lower" in out
+        # identical run WITHOUT the flag: no gate section
+        rc2 = main(base)
+        assert "violation-rate gate" not in capsys.readouterr().out
+        assert rc2 == 1
+
+        rc3 = main(
+            [
+                "profile",
+                "--source-path", d + "/src",
+                "--columns", "role",
+                "--numeric-columns", "turn_idx",
+                "--top-k", "0",
+                "--sequence", "conv_id:turn_idx:role:text",
+                "--sequence-top", "3",
+            ]
+        )
+        out3 = capsys.readouterr().out
+        assert rc3 == 0
+        assert "== sequence_anomaly ==" in out3
+        assert "== loops ==" in out3
