@@ -582,3 +582,100 @@ def stream_drift_psi_quantile(
         window=window,
         eps=eps,
     )
+
+
+LOOP_MONITOR_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx long, role string, run_len long"
+)
+_LOOP_STATE_SCHEMA = (
+    "last_turn long, run_len long, last_role string, last_hash string"
+)
+
+
+def stream_loop_monitor(
+    stream: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_run: int = 3,
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming twin of operators/conversation.py loop_detection: per-conv
+    stuck-loop alerts via ``applyInPandasWithState`` — an agent re-emitting
+    the identical (role, text) turn is caught WHILE the conversation is
+    still running, not in the nightly batch pass.
+
+    State per conversation = (last turn_idx, current run length, last role,
+    last text sha256): O(1) per key, expired after ``timeout_ms`` idle so
+    10^12 streaming turns never accumulate unbounded state. Microbatch
+    semantics are set-wise: turns are sorted by turn_idx within the batch
+    and a run only extends across EXACTLY-ADJACENT turn indexes (gaps from
+    late/missing turns reset the run rather than fabricating adjacency —
+    the batch operator joins on turn+1 for the same reason). One alert row
+    per turn whose run length reaches ``min_run``; text is hashed
+    vectorized (pandas sha256 over utf-8) so the shuffle and the state
+    carry 64 hex chars, never the text payload.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_turn, run_len, last_role, last_hash = (
+            state.get if state.exists else (-2, 0, None, None)
+        )
+        rows = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(turn_col)
+            turns = pdf[turn_col].to_numpy().astype("int64")
+            roles = pdf[role_col].astype("object").to_numpy()
+            hashes = np.array(
+                [
+                    hashlib.sha256(
+                        (t if t is not None else "\x00NULL").encode("utf-8")
+                    ).hexdigest()
+                    for t in pdf[text_col].astype("object")
+                ],
+                dtype="object",
+            )
+            for i in range(len(turns)):
+                t, r, h = int(turns[i]), roles[i], hashes[i]
+                if t == last_turn + 1 and r == last_role and h == last_hash:
+                    run_len += 1
+                else:
+                    run_len = 1
+                last_turn, last_role, last_hash = t, r, h
+                if run_len >= min_run:
+                    rows.append((key[0], t, r, int(run_len)))
+        state.update((last_turn, run_len, last_role, last_hash))
+        state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "run_len"]
+            )
+
+    return (
+        stream.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).cast("long").alias(turn_col),
+            F.col(role_col).alias(role_col),
+            F.col(text_col).alias(text_col),
+        )
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=LOOP_MONITOR_OUTPUT_SCHEMA,
+            stateStructType=_LOOP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

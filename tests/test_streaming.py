@@ -460,3 +460,57 @@ def test_stream_drift_psi_quantile_matches_batch(spark, transcripts):
             F.col("__bin"),
         ).collect()[0]["psi"]
         assert abs(got[str(day)] - round(batch, 6)) < 2e-6, day
+
+
+def test_stream_loop_monitor_matches_batch_semantics(spark):
+    """Loop-run state persists across microbatches: a run split over two
+    batches still alerts; a gap in turn_idx resets the run instead of
+    fabricating adjacency."""
+    import os
+
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_loop_monitor,
+    )
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
+        src = d + "/turns"
+        os.makedirs(src)
+        schema = "conv_id string, turn_idx long, role string, text string"
+        # batch1: conv a turns 0-1 identical assistant 'X' (run 2, below
+        # min_run=3); conv b two identical turns but with a GAP (0 then 2)
+        batch1 = spark.createDataFrame(
+            [
+                ("a", 0, "assistant", "X"),
+                ("a", 1, "assistant", "X"),
+                ("b", 0, "assistant", "Y"),
+                ("b", 2, "assistant", "Y"),
+            ],
+            schema,
+        )
+        # batch2: conv a turn 2 extends the run to 3 -> alert fires here
+        batch2 = spark.createDataFrame(
+            [("a", 2, "assistant", "X"), ("a", 3, "user", "ok")], schema
+        )
+        batch1.coalesce(1).write.parquet(src + "/f=1")
+        batch2.coalesce(1).write.parquet(src + "/f=2")
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        out = stream_loop_monitor(stream, min_run=3)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("loop_out")
+            .outputMode("append")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        got = {
+            (r.conv_id, r.turn_idx, r.run_len)
+            for r in spark.table("loop_out").collect()
+        }
+        assert got == {("a", 2, 3)}  # cross-batch run; gap in b never fires
