@@ -5255,3 +5255,60 @@ _TRAINING_ORACLES.update(
         "cusum_changepoint": _SQL_CUSUM_CHANGEPOINT,
     }
 )
+
+
+def q_conv_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation repeated-turn profile with a planted
+    alternating A-B loop slice (turn_idx % 13 in (2,4) share one text,
+    (3,5) another — invisible to adjacent-run loop_detection) —
+    operators/conversation.py conv_redundancy."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.conversation import (
+        conv_redundancy,
+    )
+
+    t = spark.table("transcripts")
+    planted = t.withColumn(
+        "text",
+        F.when((F.col("turn_idx") % 13).isin(2, 4), F.lit("PING"))
+        .when((F.col("turn_idx") % 13).isin(3, 5), F.lit("PONG"))
+        .otherwise(F.col("text")),
+    ).withColumn(
+        "role",
+        F.when(
+            (F.col("turn_idx") % 13).isin(2, 3, 4, 5), F.lit("assistant")
+        ).otherwise(F.col("role")),
+    )
+    return conv_redundancy(planted, min_repeats=2)
+
+
+_SQL_CONV_REDUNDANCY = f"""{_CTES},
+planted AS (
+  SELECT conv_id,
+    CASE WHEN turn_idx % 13 IN (2,3,4,5) THEN 'assistant' ELSE role END
+      AS role,
+    CASE WHEN turn_idx % 13 IN (2,4) THEN 'PING'
+         WHEN turn_idx % 13 IN (3,5) THEN 'PONG'
+         ELSE text END AS text
+  FROM transcripts),
+cells AS (
+  SELECT conv_id,
+    coalesce(role, chr(0) || 'NULL') || chr(1)
+      || coalesce(text, chr(0) || 'NULL') AS k,
+    count(*) AS cnt
+  FROM planted GROUP BY 1, 2),
+per_conv AS (
+  SELECT conv_id,
+    CAST(sum(cnt) AS BIGINT) AS n_turns,
+    CAST(count(*) AS BIGINT) AS n_distinct,
+    CAST(max(cnt) AS BIGINT) AS max_repeats
+  FROM cells GROUP BY conv_id)
+SELECT conv_id, n_turns, n_distinct,
+  round(1 - n_distinct * 1.0 / n_turns, 6) AS redundancy,
+  max_repeats
+FROM per_conv WHERE max_repeats >= 2 ORDER BY conv_id
+"""
+
+
+_TRAINING_QUERIES["conv_redundancy"] = q_conv_redundancy
+_TRAINING_ORACLES["conv_redundancy"] = _SQL_CONV_REDUNDANCY

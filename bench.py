@@ -96,6 +96,7 @@ TRAINING_BENCH = [
     "role_sequence_anomaly",
     "violation_rate_gate",
     "cusum_changepoint",
+    "conv_redundancy",
 ]
 
 

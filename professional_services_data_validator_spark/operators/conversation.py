@@ -374,3 +374,61 @@ def role_sequence_anomaly(
         )
         .orderBy("conv_id")
     )
+
+
+def conv_redundancy(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Within-conversation redundancy profile: how much of a conversation
+    is repeated (role, text) content ANYWHERE in the conversation — the
+    non-adjacent complement of loop_detection (which only sees consecutive
+    runs and so misses alternating loops like A-B-A-B, a common two-agent
+    ping-pong failure).
+
+    redundancy = 1 - n_distinct / n_turns (0 = all unique);
+    max_repeats = occurrences of the single most repeated (role, text).
+
+    Plan: ONE aggregation to the (conv, role, text-hash) cell frame — the
+    text leaves the scan as an 8-byte xxhash64 (the binary-hash-through-
+    the-shuffle lesson from row_hash_violations; a profiling COUNT needs
+    grouping equality, not cryptographic collision resistance), so the
+    shuffle never carries payloads — then one conv-keyed rollup. Both
+    shuffles key on conv_id (+hash), so bucketing by conv_id co-locates
+    the first and AQE splits hot conversations.
+
+    Output (conversations whose most-repeated turn occurs >= ``min_repeats``
+    times): (conv_id, n_turns, n_distinct, redundancy 6dp, max_repeats),
+    ordered by conv_id.
+    """
+    cells = df.groupBy(
+        F.col(conv_col).alias("conv_id"),
+        F.xxhash64(
+            F.concat_ws(
+                "\x01",
+                F.coalesce(F.col(role_col), F.lit("\x00NULL")),
+                F.coalesce(F.col(text_col), F.lit("\x00NULL")),
+            )
+        ).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_conv = cells.groupBy("conv_id").agg(
+        F.sum("cnt").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("cnt").cast("long").alias("max_repeats"),
+    )
+    return (
+        per_conv.select(
+            "conv_id",
+            "n_turns",
+            "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_turns"), 6).alias(
+                "redundancy"
+            ),
+            "max_repeats",
+        )
+        .filter(F.col("max_repeats") >= min_repeats)
+        .orderBy("conv_id")
+    )

@@ -541,6 +541,11 @@ NOTES = {
         "O(rows) pass is the groupBy(role, day) count with map-side "
         "partials."
     ),
+    "conv_redundancy": (
+        "Redundancy: text leaves the scan as sha256, so the ONE O(rows) "
+        "shuffle carries (conv, 32-byte hash) with map-side partial "
+        "counts; the conv rollup is co-keyed. No windows, no self-join."
+    ),
 }
 
 

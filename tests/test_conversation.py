@@ -225,3 +225,37 @@ def test_role_sequence_anomaly_scores_rare_edges(spark):
     expect = round((-math.log(3 / 4) - math.log(1.0)) / 2, 6)
     assert out["c1"]["avg_nll"] == expect
     assert out["c9"]["avg_nll"] > out["c1"]["avg_nll"]
+
+
+def test_conv_redundancy_catches_alternating_loop(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        conv_redundancy,
+        loop_detection,
+    )
+
+    # A-B-A-B ping-pong: NO adjacent identical pair, so loop_detection is
+    # blind to it — conv_redundancy is the non-adjacent complement
+    rows = [
+        ("c1", 0, "assistant", "A"),
+        ("c1", 1, "assistant", "B"),
+        ("c1", 2, "assistant", "A"),
+        ("c1", 3, "assistant", "B"),
+        ("c2", 0, "user", "x"),
+        ("c2", 1, "assistant", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    assert loop_detection(df, min_run=2).count() == 0
+    out = conv_redundancy(df, min_repeats=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["conv_id"] == "c1"
+    assert r["n_turns"] == 4 and r["n_distinct"] == 2
+    assert r["redundancy"] == 0.5 and r["max_repeats"] == 2
+    # role matters: same text under different roles is NOT a repeat
+    df2 = spark.createDataFrame(
+        [("c3", 0, "user", "Z"), ("c3", 1, "assistant", "Z")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    assert conv_redundancy(df2, min_repeats=2).count() == 0
