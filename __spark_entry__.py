@@ -5312,3 +5312,144 @@ FROM per_conv WHERE max_repeats >= 2 ORDER BY conv_id
 
 _TRAINING_QUERIES["conv_redundancy"] = q_conv_redundancy
 _TRAINING_ORACLES["conv_redundancy"] = _SQL_CONV_REDUNDANCY
+
+
+def q_row_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-aware numeric row validation over events vs a planted
+    target copy: event_id % 7 = 0 gets an ULP-scale relative jitter
+    (1e-10, PASSES rel_tol 1e-9), % 97 = 0 a real +0.5 shift (fails),
+    % 211 = 0 a nulled value (null_mismatch) —
+    operators/row_compare.py row_tolerance_violations."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    tgt = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 211 == 0, F.lit(None).cast("double"))
+        .when(F.col("event_id") % 97 == 0, F.col("value") + F.lit(0.5))
+        .when(
+            F.col("event_id") % 7 == 0,
+            F.col("value") * F.lit(1.0000000001),
+        )
+        .otherwise(F.col("value")),
+    )
+    from professional_services_data_validator_spark.operators.row_compare import (
+        row_tolerance_violations,
+    )
+
+    return row_tolerance_violations(
+        ev, tgt, ["event_id"], ["value"], rel_tol=1e-9
+    )
+
+
+_SQL_ROW_TOLERANCE = """
+WITH tgt AS (
+  SELECT event_id,
+    CASE WHEN event_id % 211 = 0 THEN NULL
+         WHEN event_id % 97 = 0 THEN value + 0.5
+         WHEN event_id % 7 = 0 THEN value * 1.0000000001
+         ELSE value END AS value
+  FROM events),
+j AS (
+  SELECT s.event_id, s.value AS sv, t.value AS tv
+  FROM events s JOIN tgt t USING (event_id)),
+flagged AS (
+  SELECT event_id, 'value' AS "column", sv AS source_value,
+    tv AS target_value,
+    CASE WHEN sv IS NOT NULL AND tv IS NOT NULL
+              AND NOT isnan(sv) AND NOT isnan(tv)
+         THEN abs(sv - tv) END AS abs_diff,
+    CASE WHEN sv IS NOT NULL AND tv IS NOT NULL
+              AND NOT isnan(sv) AND NOT isnan(tv)
+              AND greatest(abs(sv), abs(tv)) > 0
+         THEN abs(sv - tv) / greatest(abs(sv), abs(tv)) END AS rel_diff,
+    CASE WHEN (sv IS NULL) != (tv IS NULL) THEN 'null_mismatch'
+         WHEN sv IS NOT NULL AND tv IS NOT NULL
+              AND (isnan(sv) != isnan(tv)) THEN 'nan_mismatch'
+         WHEN sv IS NOT NULL AND tv IS NOT NULL
+              AND NOT isnan(sv) AND NOT isnan(tv)
+              AND abs(sv - tv) >
+                  greatest(0.0, 1e-9 * greatest(abs(sv), abs(tv)))
+         THEN 'exceeds_tolerance' END AS reason
+  FROM j)
+SELECT * FROM flagged WHERE reason IS NOT NULL
+ORDER BY event_id, "column"
+"""
+
+
+def q_mismatch_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triage of text mismatches by Jaro similarity over a target with
+    four planted mutation classes (append / truncate / full rewrite /
+    nulled) — operators/row_compare.py mismatch_severity; the
+    Arrow-batched UDF runs over the RARE mismatching rows only."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.row_compare import (
+        mismatch_severity,
+    )
+
+    t = spark.table("transcripts")
+    planted = t.withColumn(
+        "text",
+        F.when(F.col("event_id") % 223 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("event_id") % 211 == 3,
+            F.lit("COMPLETELY DIFFERENT CONTENT xyz"),
+        )
+        .when(
+            F.col("event_id") % 89 == 0,
+            F.substring(
+                F.col("text"), 1, F.floor(F.length("text") / 2).cast("int")
+            ),
+        )
+        .when(
+            F.col("event_id") % 193 == 0,
+            F.concat(F.col("text"), F.lit(" MUTATED")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return mismatch_severity(t, planted, ["conv_id", "turn_idx"], "text")
+
+
+_SQL_MISMATCH_SEVERITY = f"""{_CTES},
+planted AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN event_id % 223 = 0 THEN NULL
+         WHEN event_id % 211 = 3 THEN 'COMPLETELY DIFFERENT CONTENT xyz'
+         WHEN event_id % 89 = 0
+           THEN substring(text, 1, CAST(floor(length(text) / 2.0) AS INTEGER))
+         WHEN event_id % 193 = 0 THEN text || ' MUTATED'
+         ELSE text END AS text
+  FROM transcripts),
+mism AS (
+  SELECT jaro_similarity(s.text, t.text) AS sim,
+         (s.text IS NULL OR t.text IS NULL) AS has_null
+  FROM transcripts s
+  JOIN planted t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+  WHERE s.text IS DISTINCT FROM t.text),
+classed AS (
+  SELECT CASE WHEN has_null THEN 'null_change'
+              WHEN sim >= 0.9 THEN 'minor_edit'
+              WHEN sim >= 0.7 THEN 'partial_rewrite'
+              ELSE 'rewrite' END AS severity,
+         CASE WHEN has_null THEN NULL ELSE sim END AS sim
+  FROM mism)
+SELECT severity,
+  CAST(count(*) AS BIGINT) AS n,
+  round(avg(sim), 6) AS avg_sim,
+  round(min(sim), 6) AS min_sim
+FROM classed GROUP BY severity ORDER BY severity
+"""
+
+
+_TRAINING_QUERIES.update(
+    {
+        "row_tolerance_violations": q_row_tolerance,
+        "mismatch_severity": q_mismatch_severity,
+    }
+)
+_TRAINING_ORACLES.update(
+    {
+        "row_tolerance_violations": _SQL_ROW_TOLERANCE,
+        "mismatch_severity": _SQL_MISMATCH_SEVERITY,
+    }
+)

@@ -97,6 +97,8 @@ TRAINING_BENCH = [
     "violation_rate_gate",
     "cusum_changepoint",
     "conv_redundancy",
+    "row_tolerance_violations",
+    "mismatch_severity",
 ]
 
 

@@ -19,6 +19,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -427,3 +429,158 @@ def violation_rate_gate(
         .otherwise(F.lit(consts.VALIDATION_STATUS_SUCCESS))
         .alias("validation_status"),
     ).orderBy("day")
+
+
+def row_tolerance_violations(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    value_cols: list[str],
+    rel_tol: float = 1e-9,
+    abs_tol: float = 0.0,
+) -> DataFrame:
+    """Numeric row validation with tolerance: exact hash compare
+    (row_violations) calls ANY bit difference a violation, but floating
+    point columns legitimately differ across engines/rewrites by ULPs —
+    the reference's own cross-engine use case. A value pair passes when
+    |s - t| <= max(abs_tol, rel_tol * max(|s|, |t|)); exactly-one-side
+    NULL or exactly-one-side NaN is always a violation (both-NULL and
+    both-NaN pass: no information changed).
+
+    Plan: ONE inner PK join (shuffle-free when both sides are bucketed by
+    PK; rows missing a side belong to row_violations, not here), the
+    per-column checks as a map-side explode(array(structs)) melt, and a
+    filter — only violating (row, column) pairs survive, so output is
+    rare-row sized.
+
+    Output: (pks..., column, source_value, target_value, abs_diff,
+    rel_diff, reason in {exceeds_tolerance, null_mismatch, nan_mismatch}),
+    ordered by (pks, column).
+    """
+    s = source.select(
+        *primary_keys,
+        *[F.col(c).cast("double").alias(f"__s_{c}") for c in value_cols],
+    )
+    t = target.select(
+        *primary_keys,
+        *[F.col(c).cast("double").alias(f"__t_{c}") for c in value_cols],
+    )
+    j = s.join(t, primary_keys)
+
+    entries = []
+    for c in value_cols:
+        sv, tv = F.col(f"__s_{c}"), F.col(f"__t_{c}")
+        null_mismatch = sv.isNull() != tv.isNull()
+        nan_mismatch = (
+            sv.isNotNull()
+            & tv.isNotNull()
+            & (F.isnan(sv) != F.isnan(tv))
+        )
+        both_num = (
+            sv.isNotNull() & tv.isNotNull() & ~F.isnan(sv) & ~F.isnan(tv)
+        )
+        bound = F.greatest(
+            F.lit(abs_tol), F.lit(rel_tol) * F.greatest(F.abs(sv), F.abs(tv))
+        )
+        exceeds = both_num & (F.abs(sv - tv) > bound)
+        reason = (
+            F.when(null_mismatch, F.lit("null_mismatch"))
+            .when(nan_mismatch, F.lit("nan_mismatch"))
+            .when(exceeds, F.lit("exceeds_tolerance"))
+        )
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                sv.alias("source_value"),
+                tv.alias("target_value"),
+                F.when(both_num, F.abs(sv - tv)).alias("abs_diff"),
+                F.when(
+                    both_num & (F.greatest(F.abs(sv), F.abs(tv)) > 0),
+                    F.abs(sv - tv) / F.greatest(F.abs(sv), F.abs(tv)),
+                ).alias("rel_diff"),
+                reason.alias("reason"),
+            )
+        )
+    melted = j.select(
+        *primary_keys, F.explode(F.array(*entries)).alias("e")
+    ).filter(F.col("e.reason").isNotNull())
+    return melted.select(
+        *primary_keys,
+        "e.column",
+        "e.source_value",
+        "e.target_value",
+        "e.abs_diff",
+        "e.rel_diff",
+        "e.reason",
+    ).orderBy(*primary_keys, "column")
+
+
+def mismatch_severity(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    text_col: str = "text",
+    minor: float = 0.9,
+    partial: float = 0.7,
+) -> DataFrame:
+    """Classify text mismatches by HOW different they are: a row-hash
+    violation says only that bytes changed; triage needs to know whether
+    the target text is a minor edit (encoding fix, trailing whitespace),
+    a partial rewrite, or unrelated content. Severity comes from Jaro
+    similarity (same public algorithm as sources/readers.jaro_similarity,
+    verified value-identical to DuckDB's jaro_similarity built-in).
+
+    Plan: ONE inner PK join filtered to null-safe text mismatches FIRST —
+    the Arrow-batched pandas UDF (the only Python here) runs over the
+    RARE mismatching rows, never the corpus; the rollup is O(severity
+    classes).
+
+    Output: (severity in {null_change, minor_edit, partial_rewrite,
+    rewrite}, n, avg_sim 6dp, min_sim 6dp) ordered by severity.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sources.readers import jaro_similarity
+
+    @pandas_udf("double")
+    def _jaro(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if x is None or y is None
+                else jaro_similarity(str(x), str(y))
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    s = source.select(
+        *primary_keys, F.col(text_col).alias("__s_text")
+    )
+    t = target.select(
+        *primary_keys, F.col(text_col).alias("__t_text")
+    )
+    mismatched = s.join(t, primary_keys).filter(
+        ~F.col("__s_text").eqNullSafe(F.col("__t_text"))
+    )
+    scored = mismatched.select(
+        _jaro("__s_text", "__t_text").alias("sim"),
+        (
+            F.col("__s_text").isNull() | F.col("__t_text").isNull()
+        ).alias("has_null"),
+    )
+    severity = (
+        F.when(F.col("has_null"), F.lit("null_change"))
+        .when(F.col("sim") >= minor, F.lit("minor_edit"))
+        .when(F.col("sim") >= partial, F.lit("partial_rewrite"))
+        .otherwise(F.lit("rewrite"))
+    )
+    return (
+        scored.groupBy(severity.alias("severity"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+            F.round(F.min("sim"), 6).alias("min_sim"),
+        )
+        .orderBy("severity")
+    )

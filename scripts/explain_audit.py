@@ -542,9 +542,21 @@ NOTES = {
         "partials."
     ),
     "conv_redundancy": (
-        "Redundancy: text leaves the scan as sha256, so the ONE O(rows) "
-        "shuffle carries (conv, 32-byte hash) with map-side partial "
+        "Redundancy: text leaves the scan as an 8-byte xxhash64, so the "
+        "ONE O(rows) shuffle carries (conv, hash) with map-side partial "
         "counts; the conv rollup is co-keyed. No windows, no self-join."
+    ),
+    "row_tolerance_violations": (
+        "Tolerance compare: ONE inner PK join (shuffle-free when "
+        "bucketed); the per-column checks are a map-side explode melt + "
+        "filter, so only violating (row, column) pairs survive the join "
+        "output. All comparisons JVM-side IEEE doubles."
+    ),
+    "mismatch_severity": (
+        "Severity triage: the null-safe text-mismatch FILTER runs before "
+        "the Arrow-batched Jaro UDF, so Python touches only the rare "
+        "violating rows (defect rate ~1%%), never the corpus; the rollup "
+        "is O(4 classes)."
     ),
 }
 

@@ -258,3 +258,64 @@ def test_violation_rate_gate_fails_on_evidence_not_uncertainty(spark):
         src2, tgt2, ["conv_id", "turn_idx"], ["text"]
     ).collect()[0]
     assert r["n_rows"] == 10 and r["n_violations"] > 0
+
+
+def test_row_tolerance_violations_classifies(spark):
+    from professional_services_data_validator_spark.operators.row_compare import (
+        row_tolerance_violations,
+    )
+
+    schema = "id long, v double"
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 100.0), (4, None),
+         (5, float("nan")), (6, float("nan")), (7, None)],
+        schema,
+    )
+    tgt = spark.createDataFrame(
+        [(1, 100.0 + 1e-10), (2, 100.5), (3, 100.0), (4, 4.0),
+         (5, 5.0), (6, float("nan")), (7, None)],
+        schema,
+    )
+    out = {
+        r["id"]: r
+        for r in row_tolerance_violations(
+            src, tgt, ["id"], ["v"], rel_tol=1e-9
+        ).collect()
+    }
+    # 1: ULP-scale diff within rel_tol -> NOT a violation
+    # 3: identical, 6: both NaN, 7: both NULL -> pass
+    assert set(out) == {2, 4, 5}
+    assert out[2]["reason"] == "exceeds_tolerance"
+    assert out[2]["abs_diff"] == 0.5
+    assert out[4]["reason"] == "null_mismatch"
+    assert out[5]["reason"] == "nan_mismatch"
+
+
+def test_mismatch_severity_bands(spark):
+    from professional_services_data_validator_spark.operators.row_compare import (
+        mismatch_severity,
+    )
+    from professional_services_data_validator_spark.sources.readers import (
+        jaro_similarity,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    schema = "id long, text string"
+    src = spark.createDataFrame([(i, base) for i in range(1, 6)], schema)
+    tgt = spark.createDataFrame(
+        [
+            (1, base),  # identical -> not a mismatch at all
+            (2, base + "!"),  # minor edit
+            (3, base[:20]),  # truncation -> partial
+            (4, "zzz qqq completely unrelated www"),  # rewrite
+            (5, None),  # null_change
+        ],
+        schema,
+    )
+    out = {r["severity"]: r for r in mismatch_severity(src, tgt, ["id"]).collect()}
+    assert set(out) == {"minor_edit", "partial_rewrite", "rewrite", "null_change"}
+    assert all(r["n"] == 1 for r in out.values())
+    assert out["null_change"]["avg_sim"] is None
+    assert out["minor_edit"]["avg_sim"] == round(
+        jaro_similarity(base, base + "!"), 6
+    )
