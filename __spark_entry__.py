@@ -5453,3 +5453,52 @@ _TRAINING_ORACLES.update(
         "mismatch_severity": _SQL_MISMATCH_SEVERITY,
     }
 )
+
+
+def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs that straddle the doc_id-keyed train/val/test split
+    — eval contamination the exact-split guarantee cannot see
+    (operators/sampling.py cross_split_leakage: LSH pairs broadcast-joined
+    to the map-only split assignment)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.sampling import (
+        cross_split_leakage,
+    )
+
+    return cross_split_leakage(
+        spark.table("documents"), "doc_id", "text", ["doc_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42,
+        k=2, num_hashes=8, bands=4, threshold=0.5,
+    )
+
+
+def _cross_split_leakage_oracle_sql() -> str:
+    from professional_services_data_validator_spark.operators.sampling import (
+        split_thresholds,
+    )
+
+    t_train, t_val = split_thresholds(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    split_case = f"""CASE
+    WHEN substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         < '{t_train}' THEN 'train'
+    WHEN substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         < '{t_val}' THEN 'val'
+    ELSE 'test'
+  END"""
+    return f"""
+WITH pairs AS ({_SQL_LSH_DEDUP}),
+splits AS (SELECT doc_id, {split_case} AS split FROM documents)
+SELECT p.id_a, p.id_b, p.jaccard,
+       sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.id_a
+JOIN splits sb ON sb.doc_id = p.id_b
+WHERE sa.split <> sb.split
+ORDER BY id_a, id_b
+"""
+
+
+_TRAINING_QUERIES["cross_split_leakage"] = q_cross_split_leakage
+_TRAINING_ORACLES["cross_split_leakage"] = _cross_split_leakage_oracle_sql()

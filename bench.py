@@ -99,6 +99,7 @@ TRAINING_BENCH = [
     "conv_redundancy",
     "row_tolerance_violations",
     "mismatch_severity",
+    "cross_split_leakage",
 ]
 
 

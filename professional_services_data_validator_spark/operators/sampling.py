@@ -338,3 +338,56 @@ def sample_representativeness(
         _verdict(F.col("jsd"), jsd_threshold),
     )
     return ks.unionByName(jsd).orderBy("check")
+
+
+def cross_split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keys: list[str],
+    weights: dict[str, float],
+    seed: int = 42,
+    k: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Eval-contamination detector: NEAR-DUPLICATE documents that landed in
+    DIFFERENT splits. hash_split keyed on a group key guarantees no exact
+    row crosses splits, but a near-copy of a training document sitting in
+    the test split still leaks — the gap decontaminate (exact n-gram
+    overlap vs a benchmark) and split_balance (distribution parity) both
+    miss.
+
+    Plan: minhash_dedup_pairs produces the verified near-dup pair list
+    (bucketed LSH equi-join, never all-pairs); the pair frame is RARE-ROW
+    sized, so it joins to the map-only split assignment BROADCAST — the
+    corpus never shuffles for the split lookup (two broadcast hash joins,
+    zero exchange of the document table beyond what LSH already does).
+
+    Output: (id_a, id_b, jaccard, split_a, split_b) for pairs with
+    split_a != split_b, ordered by (id_a, id_b).
+    """
+    from .dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col,
+        k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    splits = hash_split(df, keys, weights, seed=seed).select(
+        F.col(id_col), "split"
+    )
+    a = splits.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("split_b")
+    )
+    leaks = (
+        a.join(F.broadcast(pairs), "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return leaks.select(
+        "id_a", "id_b", "jaccard", "split_a", "split_b"
+    ).orderBy("id_a", "id_b")

@@ -558,6 +558,12 @@ NOTES = {
         "violating rows (defect rate ~1%%), never the corpus; the rollup "
         "is O(4 classes)."
     ),
+    "cross_split_leakage": (
+        "Leakage: the LSH near-dup pair frame (bucketed equi-join, "
+        "candidate count ~ sum(bucket^2)) is rare-row sized, so it "
+        "BROADCASTS to the map-only split projection twice — the corpus "
+        "never shuffles for the split lookup."
+    ),
 }
 
 

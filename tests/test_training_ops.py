@@ -1076,3 +1076,39 @@ def test_group_exact_dedup_order_awareness(spark):
     ]
     df = spark.createDataFrame(rows, "conv string, idx int, text string")
     assert group_exact_dedup(df, ["conv"], "idx", "text").count() == 0
+
+
+def test_cross_split_leakage_flags_only_cross_split_neardups(spark):
+    from professional_services_data_validator_spark.operators.sampling import (
+        cross_split_leakage,
+        hash_split,
+    )
+
+    # near-identical doc pairs with PAIR-UNIQUE vocabulary (so only
+    # (i, i+1) are near-dups of each other); the fixture asserts EXACTLY
+    # the cross-split subset of those pairs is flagged
+    rows = []
+    for i in range(0, 40, 2):
+        base = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, base + f" tail{i}"))
+        rows.append((i + 1, base + f" tail{i + 1}"))  # near-dup of i
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, ["doc_id"], weights).collect()
+    }
+    expected = {
+        (i, i + 1)
+        for i in range(0, 40, 2)
+        if splits[i] != splits[i + 1]
+    }
+    got = {
+        (r["id_a"], r["id_b"]): (r["split_a"], r["split_b"])
+        for r in cross_split_leakage(
+            df, "doc_id", "text", ["doc_id"], weights
+        ).collect()
+    }
+    assert set(got) == expected and len(expected) > 0
+    for (a, b), (sa, sb) in got.items():
+        assert (sa, sb) == (splits[a], splits[b]) and sa != sb
