@@ -5502,3 +5502,115 @@ ORDER BY id_a, id_b
 
 _TRAINING_QUERIES["cross_split_leakage"] = q_cross_split_leakage
 _TRAINING_ORACLES["cross_split_leakage"] = _cross_split_leakage_oracle_sql()
+
+
+def q_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition-matrix drift source vs target: conditional
+    P(next_role | prev_role) compared cell-by-cell with per-prev TVD and a
+    source-weighted matrix drift (operators/conversation.transition_drift)
+    — the structural complement of the marginal drift family
+    (drift_psi_role / drift_jsd_role). Same deterministic event_id % 7
+    role flip as drift_jsd_role so the drift is nonzero."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.conversation import (
+        transition_drift,
+    )
+
+    tgt = spark.table("transcripts_target").withColumn(
+        "role",
+        F.when(F.col("event_id") % 7 == 0, F.lit("assistant")).otherwise(
+            F.col("role")
+        ),
+    )
+    return transition_drift(spark.table("transcripts"), tgt)
+
+
+_SQL_TRANSITION_DRIFT = f"""{_CTES},
+tgt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN event_id % 7 = 0 THEN 'assistant' ELSE role END AS role
+  FROM transcripts_target),
+cs AS (
+  SELECT a.role AS prev_role, b.role AS next_role, count(*) AS n
+  FROM transcripts a JOIN transcripts b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+  GROUP BY 1, 2),
+ct AS (
+  SELECT a.role AS prev_role, b.role AS next_role, count(*) AS n
+  FROM tgt a JOIN tgt b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+  GROUP BY 1, 2),
+u AS (
+  SELECT prev_role, next_role,
+         CAST(sum(ns) AS BIGINT) AS n_source,
+         CAST(sum(nt) AS BIGINT) AS n_target
+  FROM (SELECT prev_role, next_role, n AS ns, 0 AS nt FROM cs
+        UNION ALL
+        SELECT prev_role, next_role, 0, n FROM ct) z
+  GROUP BY 1, 2),
+s1 AS (
+  SELECT prev_role, next_role, n_source, n_target,
+    CASE WHEN sum(n_source) OVER (PARTITION BY prev_role) > 0
+         THEN n_source * 1.0 / sum(n_source) OVER (PARTITION BY prev_role)
+         ELSE 0.0 END AS ps,
+    CASE WHEN sum(n_target) OVER (PARTITION BY prev_role) > 0
+         THEN n_target * 1.0 / sum(n_target) OVER (PARTITION BY prev_role)
+         ELSE 0.0 END AS pt,
+    sum(n_source) OVER (PARTITION BY prev_role) AS tsp
+  FROM u),
+s2 AS (
+  SELECT *,
+    0.5 * sum(abs(ps - pt)) OVER (PARTITION BY prev_role) AS tvd_prev_raw,
+    sum(n_source) OVER () AS gs
+  FROM s1)
+SELECT prev_role, next_role, n_source, n_target,
+  round(ps, 6) AS p_source,
+  round(pt, 6) AS p_target,
+  round(tvd_prev_raw, 6) AS tvd_prev,
+  round(sum((tsp * 1.0 / gs) * 0.5 * abs(ps - pt)) OVER (), 6) AS w_drift
+FROM s2 ORDER BY prev_role, next_role
+"""
+
+
+def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget check: conversations whose cumulative
+    BPE-estimate token cost (text.bpe_cost, a JVM array fold) crosses 480
+    tokens, with the first overflowing turn and the truncation-survivor
+    count (operators/conversation.context_budget_overflow)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.conversation import (
+        context_budget_overflow,
+    )
+
+    return context_budget_overflow(spark.table("transcripts"), budget=480)
+
+
+_SQL_CONTEXT_BUDGET = f"""{_CTES},
+per AS (
+  SELECT conv_id, turn_idx,
+    CAST(coalesce(list_sum(list_transform(
+        regexp_split_to_array(trim(text), ' +'),
+        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS cost
+  FROM transcripts),
+c AS (
+  SELECT conv_id, turn_idx, cost,
+    sum(cost) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(cost) AS BIGINT) AS total_tokens,
+  CAST(min(CASE WHEN cum > 480 THEN turn_idx END) AS INT)
+    AS overflow_turn_idx,
+  CAST(count(CASE WHEN cum <= 480 THEN 1 END) AS BIGINT)
+    AS turns_within_budget
+FROM c GROUP BY conv_id
+HAVING min(CASE WHEN cum > 480 THEN turn_idx END) IS NOT NULL
+ORDER BY conv_id
+"""
+
+
+_TRAINING_QUERIES["transition_drift"] = q_transition_drift
+_TRAINING_ORACLES["transition_drift"] = _SQL_TRANSITION_DRIFT
+_TRAINING_QUERIES["context_budget_overflow"] = q_context_budget
+_TRAINING_ORACLES["context_budget_overflow"] = _SQL_CONTEXT_BUDGET

@@ -100,6 +100,8 @@ TRAINING_BENCH = [
     "row_tolerance_violations",
     "mismatch_severity",
     "cross_split_leakage",
+    "transition_drift",
+    "context_budget_overflow",
 ]
 
 

@@ -32,7 +32,7 @@ Output (one row per failing conversation):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # allowed (prev_role -> next_role) edges; everything else is a violation
@@ -430,5 +430,170 @@ def conv_redundancy(
             "max_repeats",
         )
         .filter(F.col("max_repeats") >= min_repeats)
+        .orderBy("conv_id")
+    )
+
+
+def transition_drift(
+    src: DataFrame,
+    tgt: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Role-transition-matrix drift between two transcript corpora: does
+    the *structure* of conversations differ, not just the role marginals?
+    (drift_psi_role / drift_jsd_role compare P(role); this compares the
+    conditional P(next_role | prev_role), which catches e.g. a target
+    corpus where assistants suddenly call tools twice as often even though
+    overall role frequencies are unchanged.)
+
+    Per (prev_role, next_role) cell: per-side adjacent-pair counts, the
+    conditional probabilities, and two drift rollups —
+    ``tvd_prev`` = total-variation distance between the two conditional
+    next-role distributions of that prev_role (0.5 * sum |p_s - p_t|, in
+    [0, 1]; a prev_role seen on only one side scores 0.5 by the p=0
+    convention), and ``w_drift`` = the matrix-level drift: tvd_prev
+    averaged over prev_roles weighted by the SOURCE corpus's share of
+    pairs (prev_roles absent from the source get weight 0).
+
+    Plan shape: one (conv, turn+1) co-partitioned self-join + one
+    groupBy per corpus (each corpus scanned exactly once), union of the
+    two <= |roles|^2-row cell frames, then every total/probability/drift
+    is a window over that k-row frame — the crossJoin-totals lesson: no
+    duplicated aggregation subtrees, no second O(rows) pass. At 100 TB
+    with transcripts bucketed by conv_id the pair joins are
+    exchange-free and the only corpus-sized shuffle is the map-side
+    combined cell aggregation.
+
+    Output ordered by (prev_role, next_role):
+    (prev_role, next_role, n_source, n_target, p_source 6dp, p_target
+    6dp, tvd_prev 6dp, w_drift 6dp).
+    """
+
+    def _cells(df: DataFrame) -> DataFrame:
+        conv, turn, role = F.col(conv_col), F.col(turn_col), F.col(role_col)
+        left = df.select(
+            conv.alias("conv_id"), turn.alias("t"), role.alias("prev_role")
+        )
+        right = df.select(
+            conv.alias("conv_id"), (turn - 1).alias("t"),
+            role.alias("next_role"),
+        )
+        return (
+            left.join(right, ["conv_id", "t"])
+            .groupBy("prev_role", "next_role")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    zero = F.lit(0).cast("long")
+    u = (
+        _cells(src)
+        .select(
+            "prev_role", "next_role",
+            F.col("n").alias("n_source"), zero.alias("n_target"),
+        )
+        .unionByName(
+            _cells(tgt).select(
+                "prev_role", "next_role",
+                zero.alias("n_source"), F.col("n").alias("n_target"),
+            )
+        )
+        .groupBy("prev_role", "next_role")
+        .agg(
+            F.sum("n_source").cast("long").alias("n_source"),
+            F.sum("n_target").cast("long").alias("n_target"),
+        )
+    )
+    w_prev = Window.partitionBy("prev_role")
+    w_all = Window.partitionBy()
+    tot_s_prev = F.sum("n_source").over(w_prev)
+    tot_t_prev = F.sum("n_target").over(w_prev)
+    stage1 = u.select(
+        "prev_role", "next_role", "n_source", "n_target",
+        F.when(tot_s_prev > 0, F.col("n_source") / tot_s_prev)
+        .otherwise(F.lit(0.0)).alias("_ps"),
+        F.when(tot_t_prev > 0, F.col("n_target") / tot_t_prev)
+        .otherwise(F.lit(0.0)).alias("_pt"),
+        tot_s_prev.alias("_tsp"),
+    )
+    stage2 = stage1.select(
+        "*",
+        (0.5 * F.sum(F.abs(F.col("_ps") - F.col("_pt"))).over(w_prev)).alias(
+            "_tvd_prev"
+        ),
+        F.sum("n_source").over(w_all).alias("_gs"),
+    )
+    # w_drift = sum over prev of (prev's source-pair share * tvd_prev)
+    #         = sum over CELLS of share(prev) * 0.5 * |p_s - p_t|
+    w_drift = F.sum(
+        (F.col("_tsp") / F.col("_gs")) * 0.5
+        * F.abs(F.col("_ps") - F.col("_pt"))
+    ).over(w_all)
+    return (
+        stage2.select(
+            "prev_role", "next_role", "n_source", "n_target",
+            F.round("_ps", 6).alias("p_source"),
+            F.round("_pt", 6).alias("p_target"),
+            F.round("_tvd_prev", 6).alias("tvd_prev"),
+            F.round(w_drift, 6).alias("w_drift"),
+        )
+        .orderBy("prev_role", "next_role")
+    )
+
+
+def context_budget_overflow(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window budget validation: replaying each conversation in
+    stable turn order, at which turn does the cumulative prompt cost (the
+    BPE-estimate token cost of every turn so far) first exceed ``budget``?
+    Conversations that never overflow emit nothing — the violation-rows
+    discipline shared by every check in this module. The training-pipeline
+    use is sizing: turns_within_budget is exactly how much of the
+    conversation survives a ``budget``-token context truncation.
+
+    Plan shape: the per-turn cost is a JVM-side array fold (text.bpe_cost
+    — no Python); the running total is ONE window partitioned by conv_id
+    (sort bounded by conversation length, never global); the verdict is
+    one conv-keyed aggregate. At 100 TB with transcripts bucketed by
+    conv_id both the window and the groupBy are exchange-free, and the
+    window state is O(1) per conversation.
+
+    Output ordered by conv_id: (conv_id, n_turns, total_tokens,
+    overflow_turn_idx = the first turn whose running total crosses the
+    budget, turns_within_budget).
+    """
+    from .text import bpe_cost
+
+    per_turn = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        bpe_cost(F.col(text_col)).alias("cost"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_turn.withColumn("cum", F.sum("cost").over(w))
+    over = F.col("cum") > F.lit(int(budget))
+    return (
+        cum.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("cost").cast("long").alias("total_tokens"),
+            F.min(F.when(over, F.col("turn_idx"))).alias(
+                "overflow_turn_idx"
+            ),
+            F.count(F.when(~over, F.lit(1))).cast("long").alias(
+                "turns_within_budget"
+            ),
+        )
+        .filter(F.col("overflow_turn_idx").isNotNull())
         .orderBy("conv_id")
     )

@@ -33,6 +33,20 @@ def _token_count(text: Column) -> Column:
     )
 
 
+def bpe_cost(text: Column) -> Column:
+    """BPE-ish subword cost of one text cell (token_count's bpe_est as a
+    reusable expression): a word of length L costs ceil(L/4) subword tokens,
+    summed with an array fold — JVM-side, no Python. NULL-safe (NULL and
+    empty text cost 0)."""
+    toks = F.split(F.trim(text), " +")
+    s = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+    return F.coalesce(s, F.lit(0).cast("long"))
+
+
 def token_count(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -42,12 +56,7 @@ def token_count(
     ceil(L/4) subword tokens — a cheap stand-in for BPE vocab behavior,
     computed as an array fold, no UDF).
     """
-    toks = F.split(F.trim(F.col(text_col)), " +")
-    bpe = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
-    )
+    bpe = bpe_cost(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
         _token_count(F.col(text_col)).alias("n_tokens"),

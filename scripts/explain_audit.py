@@ -558,6 +558,21 @@ NOTES = {
         "violating rows (defect rate ~1%%), never the corpus; the rollup "
         "is O(4 classes)."
     ),
+    "transition_drift": (
+        "Transition-matrix drift: each corpus is scanned exactly once — "
+        "one co-partitioned (conv, turn+1) self-join + one map-side "
+        "combined cell aggregate per side; every probability/TVD/global "
+        "drift is a window over the union'd <=|roles|^2-row cell frame "
+        "(the crossJoin-totals lesson), so nothing after the cell "
+        "aggregates touches corpus-sized data."
+    ),
+    "context_budget_overflow": (
+        "Context-budget check: per-turn BPE cost is a JVM array fold in "
+        "the scan project; the running total is ONE window PARTITIONED "
+        "BY conv_id (sort bounded by conversation length); verdict is "
+        "one conv-keyed aggregate — bucketed by conv_id both are "
+        "exchange-free."
+    ),
     "cross_split_leakage": (
         "Leakage: the LSH near-dup pair frame (bucketed equi-join, "
         "candidate count ~ sum(bucket^2)) is rare-row sized, so it "

@@ -259,3 +259,95 @@ def test_conv_redundancy_catches_alternating_loop(spark):
         "conv_id string, turn_idx int, role string, text string",
     )
     assert conv_redundancy(df2, min_repeats=2).count() == 0
+
+
+def test_transition_drift_hand_computed(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        transition_drift,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string"
+        )
+
+    # source pairs: u->a, a->u, u->a  (prev u: {a: 1.0}; prev a: {u: 1.0})
+    src = mk(
+        [("c1", 0, "u"), ("c1", 1, "a"), ("c1", 2, "u"), ("c1", 3, "a")]
+    )
+    # target pairs: u->a, u->t (prev u: {a: .5, t: .5}; prev a absent)
+    tgt = mk(
+        [("t1", 0, "u"), ("t1", 1, "a"), ("t2", 0, "u"), ("t2", 1, "t")]
+    )
+    out = {
+        (r["prev_role"], r["next_role"]): r
+        for r in transition_drift(src, tgt).collect()
+    }
+    assert set(out) == {("u", "a"), ("u", "t"), ("a", "u")}
+    ua = out[("u", "a")]
+    assert (ua["n_source"], ua["n_target"]) == (2, 1)
+    assert ua["p_source"] == 1.0 and ua["p_target"] == 0.5
+    # prev u: tvd = .5*(|1-.5| + |0-.5|) = .5 ; prev a one-sided -> .5
+    assert ua["tvd_prev"] == 0.5
+    assert out[("a", "u")]["tvd_prev"] == 0.5
+    assert out[("u", "t")]["p_source"] == 0.0
+    # w_drift = (2/3)*.5 + (1/3)*.5 = .5 on every row
+    assert {r["w_drift"] for r in out.values()} == {0.5}
+
+
+def test_transition_drift_identical_corpora_zero(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        transition_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 0, "u"), ("c1", 1, "a"), ("c1", 2, "u")],
+        "conv_id string, turn_idx int, role string",
+    )
+    rows = transition_drift(df, df).collect()
+    assert rows and all(
+        r["tvd_prev"] == 0.0 and r["w_drift"] == 0.0 for r in rows
+    )
+
+
+def test_context_budget_overflow_first_crossing(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        context_budget_overflow,
+    )
+
+    # word of length L costs ceil(L/4): "aaaa"=1, "aaaaaaaa"=2
+    w1, w2 = "aaaa", "aaaaaaaa"
+    df = spark.createDataFrame(
+        [
+            # conv over: costs 2, 2, 1 -> cum 2, 4, 5; budget 4 -> turn 2
+            ("over", 0, f"{w1} {w1}"),
+            ("over", 1, w2),
+            ("over", 2, w1),
+            # conv under: cum 1, 2 -> never crosses 4
+            ("under", 0, w1),
+            ("under", 1, w1),
+            # NULL text costs 0 and must not poison the running sum
+            ("nulls", 0, None),
+            ("nulls", 1, w1),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {r["conv_id"]: r for r in
+           context_budget_overflow(df, budget=4).collect()}
+    assert set(out) == {"over"}
+    r = out["over"]
+    assert r["n_turns"] == 3
+    assert r["total_tokens"] == 5
+    assert r["overflow_turn_idx"] == 2
+    assert r["turns_within_budget"] == 2
+
+
+def test_context_budget_overflow_empty_input(spark):
+    from professional_services_data_validator_spark.operators.conversation import (
+        context_budget_overflow,
+    )
+
+    df = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, text string"
+    )
+    assert context_budget_overflow(df, budget=1).count() == 0
