@@ -155,6 +155,12 @@ def run_suite(
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+        # the warmup leaves the heap full of dead shuffle/codegen garbage
+        # proportional to the QUERY COUNT (66+ warmed plans), and the first
+        # timed tries were paying its GC: collect it OUTSIDE the timed
+        # region so the suite number measures the engine, not the harness's
+        # warmup debris (isolated-vs-suite gap measured at ~1.5x before)
+        spark._jvm.System.gc()
 
     # per-query MIN of interleaved tries (VERDICT r2 #4: single-shot suite
     # timings could not distinguish a regression from host noise — the same
@@ -182,6 +188,7 @@ def run_suite(
     training: dict[str, float] = {}
     training_tries: dict[str, list[float]] = {}
     if not only and os.environ.get("SPARK_GRAFT_BENCH_TRAINING", "1") == "1":
+        spark._jvm.System.gc()  # headline-loop garbage stays out of these
         t_names = [n for n in TRAINING_BENCH if n in queries]
         training_tries = {n: [] for n in t_names}
         for _ in range(tries):

@@ -679,3 +679,88 @@ def stream_loop_monitor(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+BUDGET_MONITOR_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx long, cum_tokens long, n_turns long"
+)
+_BUDGET_STATE_SCHEMA = "cum long, n_turns long, alerted boolean"
+
+
+def stream_context_budget_monitor(
+    stream: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming twin of operators/conversation.py context_budget_overflow:
+    per-conversation running BPE-estimate token total via
+    ``applyInPandasWithState``, alerting the moment a LIVE conversation
+    crosses the context budget — so an agent can truncate/summarize now
+    instead of discovering the overflow in the nightly batch pass.
+
+    State per conversation = (cumulative cost, turns seen, alerted): O(1)
+    per key, expired after ``timeout_ms`` idle. Exactly ONE alert row per
+    conversation (the first crossing; `alerted` latches). Turns are sorted
+    by turn_idx within each microbatch; the token cost replicates
+    text.bpe_cost (' +'-split words, ceil(len/4) each; NULL/empty cost 0)
+    inside the Arrow batch, so the streaming and batch verdicts agree on
+    ordered input.
+    """
+    import re
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _cost(t) -> int:
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            return 0
+        words = re.split(" +", str(t).strip())
+        return sum((len(w) + 3) // 4 for w in words)
+
+    def _fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cum, n_turns, alerted = (
+            state.get if state.exists else (0, 0, False)
+        )
+        rows = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(turn_col)
+            turns = pdf[turn_col].to_numpy().astype("int64")
+            costs = [_cost(t) for t in pdf[text_col].astype("object")]
+            for t, c in zip(turns, costs):
+                cum += int(c)
+                n_turns += 1
+                if cum > budget and not alerted:
+                    alerted = True
+                    rows.append((key[0], int(t), int(cum), int(n_turns)))
+        state.update((int(cum), int(n_turns), bool(alerted)))
+        state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "cum_tokens", "n_turns"],
+            )
+
+    return (
+        stream.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).cast("long").alias(turn_col),
+            F.col(text_col).alias(text_col),
+        )
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=BUDGET_MONITOR_OUTPUT_SCHEMA,
+            stateStructType=_BUDGET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

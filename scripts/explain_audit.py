@@ -555,7 +555,7 @@ NOTES = {
     "mismatch_severity": (
         "Severity triage: the null-safe text-mismatch FILTER runs before "
         "the Arrow-batched Jaro UDF, so Python touches only the rare "
-        "violating rows (defect rate ~1%%), never the corpus; the rollup "
+        "violating rows (defect rate ~1%), never the corpus; the rollup "
         "is O(4 classes)."
     ),
     "transition_drift": (

@@ -514,3 +514,57 @@ def test_stream_loop_monitor_matches_batch_semantics(spark):
             for r in spark.table("loop_out").collect()
         }
         assert got == {("a", 2, 3)}  # cross-batch run; gap in b never fires
+
+
+def test_stream_context_budget_monitor_cross_batch_single_alert(spark):
+    """Cumulative token state persists across microbatches; the alert
+    fires exactly once, at the first crossing turn, and agrees with the
+    batch operator on the same ordered input."""
+    import os
+
+    from professional_services_data_validator_spark.operators.conversation import (
+        context_budget_overflow,
+    )
+    from professional_services_data_validator_spark.streaming.incremental import (
+        stream_context_budget_monitor,
+    )
+
+    schema = "conv_id string, turn_idx long, text string"
+    # costs: "aaaa"=1, "aaaaaaaa"=2 -> conv a cum 2,4,6 crosses 4 at turn 2
+    # (split across batches); conv b never crosses; NULL text costs 0
+    rows1 = [("a", 0, "aaaa aaaa"), ("a", 1, "aaaaaaaa"), ("b", 0, "aaaa")]
+    rows2 = [("a", 2, "aaaaaaaa"), ("a", 3, "aaaa"), ("b", 1, None)]
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
+        src = d + "/turns"
+        os.makedirs(src)
+        b1 = spark.createDataFrame(rows1, schema)
+        b1.coalesce(1).write.parquet(src + "/f=1")
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+            src + "/f=2"
+        )
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        out = stream_context_budget_monitor(stream, budget=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("budget_out")
+            .outputMode("append")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        got = {
+            (r.conv_id, r.turn_idx, r.cum_tokens, r.n_turns)
+            for r in spark.table("budget_out").collect()
+        }
+        assert got == {("a", 2, 6, 3)}  # one alert, first crossing only
+        # batch operator agrees on the union of both batches
+        batch = context_budget_overflow(
+            spark.createDataFrame(rows1 + rows2, schema), budget=4
+        ).collect()
+        assert [(r.conv_id, r.overflow_turn_idx) for r in batch] == [("a", 2)]
