@@ -5614,3 +5614,157 @@ _TRAINING_QUERIES["transition_drift"] = q_transition_drift
 _TRAINING_ORACLES["transition_drift"] = _SQL_TRANSITION_DRIFT
 _TRAINING_QUERIES["context_budget_overflow"] = q_context_budget
 _TRAINING_ORACLES["context_budget_overflow"] = _SQL_CONTEXT_BUDGET
+
+
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa source vs target, PK-paired on (conv_id, turn_idx):
+    chance-corrected label agreement (operators/aggregates.cohens_kappa).
+    Two labels: role (with the deterministic event_id % 7 flip, so kappa
+    is meaningfully < 1) and tool (NULL-heavy — exercises the reserved
+    NULL-sentinel class: a label wiped by ETL is real disagreement)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.aggregates import (
+        cohens_kappa,
+    )
+
+    src = spark.table("transcripts")
+    tgt = spark.table("transcripts_target").withColumn(
+        "role",
+        F.when(F.col("event_id") % 7 == 0, F.lit("assistant")).otherwise(
+            F.col("role")
+        ),
+    )
+    return cohens_kappa(
+        src, tgt, ["conv_id", "turn_idx"], ["role", "tool"]
+    )
+
+
+_SQL_LABEL_AGREEMENT = f"""{_CTES},
+tgt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN event_id % 7 = 0 THEN 'assistant' ELSE role END AS role,
+         tool
+  FROM transcripts_target),
+pairs AS (
+  SELECT s.conv_id, s.turn_idx,
+         coalesce(CAST(s.role AS VARCHAR), chr(0) || 'NULL') AS a_role,
+         coalesce(CAST(t.role AS VARCHAR), chr(0) || 'NULL') AS b_role,
+         coalesce(CAST(s.tool AS VARCHAR), chr(0) || 'NULL') AS a_tool,
+         coalesce(CAST(t.tool AS VARCHAR), chr(0) || 'NULL') AS b_tool
+  FROM transcripts s JOIN tgt t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx),
+k AS (
+  SELECT 'role' AS label, a_role AS a, b_role AS b FROM pairs
+  UNION ALL
+  SELECT 'tool', a_tool, b_tool FROM pairs),
+joint AS (
+  SELECT label, a, b, count(*) AS nab FROM k GROUP BY 1, 2, 3),
+tot AS (
+  SELECT label, sum(nab) AS n,
+         sum(CASE WHEN a = b THEN nab ELSE 0 END) AS n_agree
+  FROM joint GROUP BY 1),
+marg AS (
+  SELECT label, c, sum(na) AS na, sum(nb) AS nb FROM (
+    SELECT label, a AS c, nab AS na, 0 AS nb FROM joint
+    UNION ALL
+    SELECT label, b, 0, nab FROM joint) z
+  GROUP BY 1, 2),
+pe AS (
+  SELECT m.label, sum((m.na * 1.0 / t.n) * (m.nb * 1.0 / t.n)) AS pe
+  FROM marg m JOIN tot t USING (label) GROUP BY 1)
+SELECT t.label,
+  CAST(t.n AS BIGINT) AS n_pairs,
+  round(t.n_agree * 1.0 / t.n, 6) AS observed_agreement,
+  round(p.pe, 6) AS expected_agreement,
+  round(CASE WHEN (1 - p.pe) > 1e-12
+             THEN (t.n_agree * 1.0 / t.n - p.pe) / (1 - p.pe)
+             ELSE 1.0 END, 6) AS kappa
+FROM tot t JOIN pe p USING (label)
+ORDER BY label
+"""
+
+
+_TRAINING_QUERIES["label_agreement_kappa"] = q_label_agreement
+_TRAINING_ORACLES["label_agreement_kappa"] = _SQL_LABEL_AGREEMENT
+
+
+def q_embedding_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-novelty gate: the vec_id % 5 == 0 slice plays the incoming
+    batch, the rest the already-ingested corpus
+    (operators/similarity.embedding_novelty — SRP chunk blocking CROSS-
+    TABLE, no corpus self-join; same bits/seed as the SRP pair queries)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.similarity import (
+        embedding_novelty,
+    )
+
+    emb = spark.table("embeddings")
+    return embedding_novelty(
+        emb.filter(F.col("vec_id") % 5 == 0),
+        emb.filter(F.col("vec_id") % 5 != 0),
+        bits=16, seed=42, max_hamming=3, min_cosine=0.2, dim=64,
+    )
+
+
+def _embedding_novelty_oracle_sql() -> str:
+    from professional_services_data_validator_spark.operators.similarity import (
+        srp_planes,
+    )
+
+    planes = srp_planes(64, 16, 42)
+    bit_terms = []
+    for b, plane in enumerate(planes):
+        lits = ", ".join(f"{float(x)}" for x in plane)
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product("
+            f"list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+            f"[{lits}]) >= 0 THEN {2 ** b} ELSE 0 END)"
+        )
+    sig_expr = " + ".join(bit_terms)
+    return f"""
+WITH sig AS (
+  SELECT vec_id AS id, embedding, vec_id % 5 = 0 AS is_new,
+         CAST({sig_expr} AS BIGINT) AS srp_sig
+  FROM embeddings),
+chunks AS (
+  SELECT id, srp_sig, is_new, u.i AS chunk_idx,
+         (srp_sig >> (u.i * 4)) % 16 AS chunk_val
+  FROM sig, UNNEST(range(0, 4)) AS u(i)),
+cand AS (
+  SELECT DISTINCT n.id AS id_n, o.id AS id_o
+  FROM chunks n JOIN chunks o
+    ON n.chunk_idx = o.chunk_idx AND n.chunk_val = o.chunk_val
+  WHERE n.is_new AND NOT o.is_new),
+verified AS (
+  SELECT c.id_n, c.id_o,
+    round(list_cosine_similarity(
+      list_transform(sn.embedding, x -> CAST(x AS DOUBLE)),
+      list_transform(so.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+  FROM cand c
+  JOIN sig sn ON sn.id = c.id_n
+  JOIN sig so ON so.id = c.id_o
+  WHERE bit_count(xor(sn.srp_sig, so.srp_sig)) <= 3),
+hits AS (SELECT * FROM verified WHERE cos >= 0.2),
+ranked AS (
+  SELECT id_n, id_o, cos,
+    row_number() OVER (PARTITION BY id_n ORDER BY cos DESC, id_o DESC) AS rn,
+    count(*) OVER (PARTITION BY id_n) AS n_all,
+    max(cos) OVER (PARTITION BY id_n) AS cos_all
+  FROM hits),
+matched AS (
+  SELECT id_n, CAST(n_all AS BIGINT) AS n_matches,
+         CAST(cos_all AS DOUBLE) AS max_cos, id_o AS nearest_id
+  FROM ranked WHERE rn = 1)
+SELECT s.id,
+  coalesce(m.n_matches, 0) AS n_matches,
+  m.max_cos,
+  m.nearest_id,
+  m.n_matches IS NULL AS is_novel
+FROM sig s LEFT JOIN matched m ON m.id_n = s.id
+WHERE s.is_new
+ORDER BY s.id
+"""
+
+
+_TRAINING_QUERIES["embedding_novelty"] = q_embedding_novelty
+_TRAINING_ORACLES["embedding_novelty"] = _embedding_novelty_oracle_sql()

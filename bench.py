@@ -102,6 +102,8 @@ TRAINING_BENCH = [
     "cross_split_leakage",
     "transition_drift",
     "context_budget_overflow",
+    "label_agreement_kappa",
+    "embedding_novelty",
 ]
 
 

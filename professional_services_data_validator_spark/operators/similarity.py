@@ -704,3 +704,100 @@ def embedding_drift(
     return (
         counts.crossJoin(F.broadcast(cen)).crossJoin(F.broadcast(norm_psi))
     )
+
+
+def embedding_novelty(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    seed: int = 42,
+    max_hamming: int = 2,
+    min_cosine: float = 0.3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic-novelty gate for an incoming embedding batch: which new
+    vectors have NO near-cosine neighbor in the already-ingested corpus?
+    The training-pipeline question behind it: how much of this crawl is
+    actually new signal vs re-embeddings of content the model has already
+    seen — exact dedup (md5) and n-gram decontamination both miss
+    paraphrases that land close in embedding space.
+
+    Same sub-quadratic structure as srp_near_pairs, but CROSS-TABLE and
+    asymmetric: SRP signatures per side (JVM literal-array folds),
+    pigeonhole chunk blocking (two signatures within hamming d share >= 1
+    of d+1 chunks), bucketed equi-join on (chunk_idx, chunk_val) between
+    the new batch and the corpus — never new x old — then exact cosine on
+    candidates only. Candidates ~ sum over buckets |new_b| x |old_b|; the
+    corpus side never self-joins. Recall is the SRP recall (missed
+    neighbors have hamming > max_hamming); raise bits/max_hamming for
+    tighter guarantees, exactly as in srp_near_pairs.
+
+    Output, one row per NEW vector (ordered by id): (id, n_matches =
+    distinct corpus neighbors at cos >= min_cosine, max_cos 6dp,
+    nearest_id — ties broken toward the larger corpus id on the ROUNDED
+    cosine for engine-stable determinism, is_novel).
+    """
+    new_sigs = srp_signature(new_df, id_col, vec_col, bits, seed, dim=dim)
+    old_sigs = srp_signature(old_df, id_col, vec_col, bits, seed, dim=dim)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+
+    def _chunks(sigs: DataFrame, side: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("chunk_idx"),
+                    (
+                        F.shiftright(F.col("srp_sig"), i * chunk_bits)
+                        % F.lit(2 ** chunk_bits)
+                    ).alias("chunk_val"),
+                )
+                for i in range(n_chunks)
+            ]
+        )
+        return sigs.select(
+            F.col("id").alias(f"id_{side}"),
+            F.col("vec").alias(f"v{side}"),
+            F.col("srp_sig").alias(f"sig_{side}"),
+            F.explode(structs).alias("ch"),
+        ).select(
+            f"id_{side}", f"v{side}", f"sig_{side}",
+            F.col("ch.chunk_idx").alias("chunk_idx"),
+            F.col("ch.chunk_val").alias("chunk_val"),
+        )
+
+    cand = (
+        _chunks(new_sigs, "n")
+        .join(_chunks(old_sigs, "o"), ["chunk_idx", "chunk_val"])
+        .filter(
+            F.bit_count(F.col("sig_n").bitwiseXOR(F.col("sig_o")))
+            <= max_hamming
+        )
+        .dropDuplicates(["id_n", "id_o"])
+        .select(
+            "id_n", "id_o",
+            F.round(cosine(F.col("vn"), F.col("vo")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+    )
+    matched = cand.groupBy("id_n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max("cos").alias("max_cos"),
+        F.max_by(
+            "id_o", F.struct(F.col("cos"), F.col("id_o"))
+        ).alias("nearest_id"),
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(matched, F.col("id") == F.col("id_n"), "left")
+        .select(
+            "id",
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            "max_cos",
+            "nearest_id",
+            F.col("n_matches").isNull().alias("is_novel"),
+        )
+        .orderBy("id")
+    )

@@ -573,6 +573,19 @@ NOTES = {
         "one conv-keyed aggregate — bucketed by conv_id both are "
         "exchange-free."
     ),
+    "label_agreement_kappa": (
+        "Cohen's kappa: ONE inner PK join (shuffle-free when bucketed) + "
+        "ONE groupBy(a, b) count — the only O(rows) aggregate — to the "
+        "persisted |classes|^2 confusion frame; diagonal/marginal/pe "
+        "folds all run on that k-row frame."
+    ),
+    "embedding_novelty": (
+        "Novelty gate: SRP signature folds per side (JVM literal "
+        "arrays), cross-table bucketed equi-join on (chunk_idx, "
+        "chunk_val) — candidates ~ sum |new_b| x |old_b|, the corpus "
+        "never self-joins; exact cosine only on candidates; left join "
+        "preserves novel ids joinlessly... then one id-keyed rollup."
+    ),
     "cross_split_leakage": (
         "Leakage: the LSH near-dup pair frame (bucketed equi-join, "
         "candidate count ~ sum(bucket^2)) is rare-row sized, so it "

@@ -720,3 +720,42 @@ def test_novel_categories_detection(spark):
     assert got == {("c", "NEW"): 2, ("d", "z"): 1}
     # containment holds -> empty (src's d-values are a subset of tgt's)
     assert novel_categories(tgt, src, ["d"]).count() == 0
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """2x2 confusion with known kappa: po=0.7, marginals (0.5,0.5) vs
+    (0.6,0.4) -> pe = 0.5*0.6 + 0.5*0.4 = 0.5, kappa = 0.4."""
+    from professional_services_data_validator_spark.operators.aggregates import (
+        cohens_kappa,
+    )
+
+    # 10 PK-paired rows: 4 (x,x), 3 (y,y), 1 (x,y), 2 (y,x)
+    labels = [("x", "x")] * 4 + [("y", "y")] * 3 + [("x", "y")] + [("y", "x")] * 2
+    src = spark.createDataFrame(
+        [(i, a) for i, (a, _) in enumerate(labels)], "pk int, lab string"
+    )
+    tgt = spark.createDataFrame(
+        [(i, b) for i, (_, b) in enumerate(labels)], "pk int, lab string"
+    )
+    r = cohens_kappa(src, tgt, ["pk"], "lab").collect()[0]
+    assert r["n_pairs"] == 10
+    assert r["observed_agreement"] == 0.7
+    assert r["expected_agreement"] == 0.5
+    assert r["kappa"] == 0.4
+
+
+def test_cohens_kappa_null_sentinel_and_degenerate(spark):
+    from professional_services_data_validator_spark.operators.aggregates import (
+        cohens_kappa,
+    )
+
+    # NULL target label disagrees with a non-NULL source label
+    src = spark.createDataFrame([(1, "x"), (2, "x")], "pk int, lab string")
+    tgt = spark.createDataFrame([(1, "x"), (2, None)], "pk int, lab string")
+    r = cohens_kappa(src, tgt, ["pk"], "lab").collect()[0]
+    assert r["observed_agreement"] == 0.5
+    assert r["kappa"] < 1.0
+    # both sides constant on the same class: pe = 1 -> kappa defined as 1.0
+    const = spark.createDataFrame([(1, "x"), (2, "x")], "pk int, lab string")
+    r2 = cohens_kappa(const, const, ["pk"], "lab").collect()[0]
+    assert (r2["observed_agreement"], r2["kappa"]) == (1.0, 1.0)

@@ -1112,3 +1112,35 @@ def test_cross_split_leakage_flags_only_cross_split_neardups(spark):
     assert set(got) == expected and len(expected) > 0
     for (a, b), (sa, sb) in got.items():
         assert (sa, sb) == (splits[a], splits[b]) and sa != sb
+
+
+def test_embedding_novelty_cross_table(spark):
+    """New vector identical to a corpus vector is NOT novel (max_cos 1,
+    nearest = that corpus id); an orthogonal new vector IS novel; ties on
+    rounded cosine break toward the larger corpus id."""
+    from professional_services_data_validator_spark.operators.similarity import (
+        embedding_novelty,
+    )
+
+    dim = 8
+    v = [1.0] * dim
+    w = [1.0] * 4 + [-1.0] * 4  # orthogonal to v
+    old = spark.createDataFrame(
+        [(10, v), (11, v), (12, w)], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [(1, v), (2, [-x for x in w])],  # 2 is orthogonal to v, -w to w
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id: r for r in embedding_novelty(
+        new, old, bits=8, max_hamming=1, min_cosine=0.5
+    ).collect()}
+    r1 = out[1]
+    assert not r1.is_novel
+    assert r1.n_matches == 2  # both identical corpus copies matched
+    assert abs(r1.max_cos - 1.0) < 1e-9
+    assert r1.nearest_id == 11  # cos tie (1.0, 1.0) -> larger corpus id
+    r2 = out[2]
+    # -w: orthogonal to v (cos 0), anti-parallel to w (cos -1) -> novel
+    assert r2.is_novel and r2.n_matches == 0
+    assert r2.max_cos is None and r2.nearest_id is None
