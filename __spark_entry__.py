@@ -5768,3 +5768,55 @@ ORDER BY s.id
 
 _TRAINING_QUERIES["embedding_novelty"] = q_embedding_novelty
 _TRAINING_ORACLES["embedding_novelty"] = _embedding_novelty_oracle_sql()
+
+
+def q_canned_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned-response profile (operators/text.canned_turns). The synthetic
+    corpus has no verbatim cross-conversation repeats, so two canned
+    strings are planted deterministically (event_id % 97 / % 89 — the
+    pii_scrub precedent: both engines replay the identical injection) and
+    the profiler must surface exactly them."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.text import (
+        canned_turns,
+    )
+
+    t = spark.table("transcripts").withColumn(
+        "text",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.lit("I cannot help with that request."),
+        )
+        .when(
+            F.col("event_id") % 89 == 0,
+            F.lit("Thanks for contacting support!"),
+        )
+        .otherwise(F.col("text")),
+    )
+    return canned_turns(t, min_convs=2, top_k=50)
+
+
+_SQL_CANNED_TURNS = f"""{_CTES},
+planted AS (
+  SELECT conv_id,
+    CASE WHEN event_id % 97 = 0 THEN 'I cannot help with that request.'
+         WHEN event_id % 89 = 0 THEN 'Thanks for contacting support!'
+         ELSE text END AS text
+  FROM transcripts),
+agg AS (
+  SELECT text,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM planted WHERE text IS NOT NULL
+  GROUP BY text HAVING count(DISTINCT conv_id) >= 2)
+SELECT text, n_convs, n_occurrences,
+  CAST(row_number() OVER (ORDER BY n_convs DESC, n_occurrences DESC, text)
+       AS INT) AS rank
+FROM agg
+QUALIFY rank <= 50
+ORDER BY rank
+"""
+
+
+_TRAINING_QUERIES["canned_response_profile"] = q_canned_turns
+_TRAINING_ORACLES["canned_response_profile"] = _SQL_CANNED_TURNS

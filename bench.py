@@ -104,6 +104,7 @@ TRAINING_BENCH = [
     "context_budget_overflow",
     "label_agreement_kappa",
     "embedding_novelty",
+    "canned_response_profile",
 ]
 
 

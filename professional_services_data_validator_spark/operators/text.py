@@ -782,3 +782,49 @@ def char_ngrams(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(F.explode(grams).alias("ng"))
+
+
+def canned_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    min_convs: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Canned-response profile: texts that recur VERBATIM across many
+    distinct conversations — templated refusals, boilerplate greetings,
+    stuck safety strings. Within-conversation repetition is loop territory
+    (loop_detection / conv_redundancy); ACROSS conversations it means a
+    template is over-represented in the corpus and will be memorized.
+
+    ONE groupBy(text) aggregate: count / countDistinct(conv) with map-side
+    partial combine, so the exchange carries one row per distinct text per
+    task — never one per turn. The top-k rank runs over only the rows
+    passing ``min_convs`` (a tiny frame once the long tail is filtered);
+    full deterministic tie order (n_convs, n_occurrences, text).
+
+    Output (top_k rows): (text, n_convs, n_occurrences, rank).
+    """
+    agg = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(text_col).alias("text"))
+        .agg(
+            F.countDistinct(F.col(conv_col)).alias("n_convs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+    w = Window.orderBy(
+        F.col("n_convs").desc(), F.col("n_occurrences").desc(), F.col("text")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "text",
+            F.col("n_convs").cast("long").alias("n_convs"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -586,6 +586,12 @@ NOTES = {
         "never self-joins; exact cosine only on candidates; left join "
         "preserves novel ids joinlessly... then one id-keyed rollup."
     ),
+    "canned_response_profile": (
+        "Canned-turn profile: ONE groupBy(text) with map-side partial "
+        "combine (exchange carries one row per distinct text per task, "
+        "never per turn); the top-k window runs only on rows passing "
+        "min_convs — the long tail is filtered before any sort."
+    ),
     "cross_split_leakage": (
         "Leakage: the LSH near-dup pair frame (bucketed equi-join, "
         "candidate count ~ sum(bucket^2)) is rare-row sized, so it "

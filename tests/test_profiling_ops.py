@@ -759,3 +759,26 @@ def test_cohens_kappa_null_sentinel_and_degenerate(spark):
     const = spark.createDataFrame([(1, "x"), (2, "x")], "pk int, lab string")
     r2 = cohens_kappa(const, const, ["pk"], "lab").collect()[0]
     assert (r2["observed_agreement"], r2["kappa"]) == (1.0, 1.0)
+
+
+def test_canned_turns_cross_conv_only(spark):
+    """A text repeated across conversations ranks first; a text repeated
+    only WITHIN one conversation never appears (that is loop territory)."""
+    from professional_services_data_validator_spark.operators.text import (
+        canned_turns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "canned"), ("c2", "canned"), ("c3", "canned"),
+            ("c1", "boiler"), ("c2", "boiler"),
+            ("c4", "looped"), ("c4", "looped"), ("c4", "looped"),
+            ("c5", "unique"), ("c6", None),
+        ],
+        "conv_id string, text string",
+    )
+    rows = canned_turns(df, min_convs=2, top_k=10).collect()
+    assert [(r.text, r.n_convs, r.n_occurrences, r.rank) for r in rows] == [
+        ("canned", 3, 3, 1),
+        ("boiler", 2, 2, 2),
+    ]
