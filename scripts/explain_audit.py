@@ -627,7 +627,10 @@ def main() -> None:
             df.explain("formatted")
         out.append(f"## {name}\n")
         out.append(NOTES[name] + "\n")
-        out.append("```\n" + buf.getvalue().strip() + "\n```\n")
+        # plans can embed raw control bytes (e.g. the \x00 NULL-sentinel
+        # literal in cohens_kappa) — escape them so PLANS.md stays text
+        plan_txt = buf.getvalue().strip().replace("\x00", "\\x00")
+        out.append("```\n" + plan_txt + "\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))

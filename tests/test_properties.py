@@ -360,3 +360,45 @@ def test_group_exact_dedup_matches_model(spark, convs):
         if rank > 0
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    labels=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.sampled_from(["a", "b", "c", None]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cohens_kappa_matches_pure_python(spark, labels):
+    """Distributed kappa == an independent pure-Python replay (confusion
+    counts -> po, pe = sum of marginal products, kappa), including the
+    NULL-sentinel class and the pe=1 degenerate convention."""
+    from collections import Counter
+
+    from professional_services_data_validator_spark.operators.aggregates import (
+        cohens_kappa,
+    )
+
+    src = spark.createDataFrame(
+        [(i, a) for i, (a, _) in enumerate(labels)], "pk int, lab string"
+    )
+    tgt = spark.createDataFrame(
+        [(i, b) for i, (_, b) in enumerate(labels)], "pk int, lab string"
+    )
+    r = cohens_kappa(src, tgt, ["pk"], "lab").collect()[0]
+
+    sent = "\x00NULL"
+    pairs = [(a or sent, b or sent) for a, b in labels]
+    n = len(pairs)
+    po = sum(1 for a, b in pairs if a == b) / n
+    ca, cb = Counter(a for a, _ in pairs), Counter(b for _, b in pairs)
+    pe = sum((ca[c] / n) * (cb[c] / n) for c in set(ca) | set(cb))
+    kappa = (po - pe) / (1 - pe) if (1 - pe) > 1e-12 else 1.0
+    assert r["n_pairs"] == n
+    assert abs(r["observed_agreement"] - round(po, 6)) < 1e-9
+    assert abs(r["expected_agreement"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round(kappa, 6)) < 2e-6
