@@ -2190,7 +2190,8 @@ c AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
   FROM sh)
 SELECT id, shard, CAST(floor(cum * 1.0 / 512) AS BIGINT) AS bin_id,
-  cum % 512 AS offset_in_bin, CAST(n_tokens AS BIGINT) AS n_tokens
+  CAST(cum % 512 AS BIGINT) AS offset_in_bin,
+  CAST(n_tokens AS BIGINT) AS n_tokens
 FROM c ORDER BY id
 """
 
@@ -5594,7 +5595,7 @@ per AS (
   FROM transcripts),
 c AS (
   SELECT conv_id, turn_idx, cost,
-    sum(cost) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    sum(cost) OVER (PARTITION BY conv_id ORDER BY turn_idx, cost
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM per)
 SELECT conv_id,

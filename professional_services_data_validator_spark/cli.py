@@ -199,6 +199,18 @@ def _add_validate_flags(p: argparse.ArgumentParser, vtype: str) -> None:
             help="pre-cast int32 columns to int64 before SUM "
             "(reference --cast-to-bigint)",
         )
+        p.add_argument(
+            "--wildcard-include-string-len",
+            action="store_true",
+            help="include string columns (as length()) in '*' aggregate "
+            "expansion (reference -wis, __main__.py:93-94)",
+        )
+        p.add_argument(
+            "--wildcard-include-timestamp",
+            action="store_true",
+            help="include timestamp/date columns in '*' aggregate "
+            "expansion (reference -wit, __main__.py:96-97)",
+        )
     if vtype in ("row", "custom-query"):
         p.add_argument(
             "--primary-keys", default=None,
@@ -209,11 +221,29 @@ def _add_validate_flags(p: argparse.ArgumentParser, vtype: str) -> None:
             help="'*' or comma list: sha256 row-hash comparison",
         )
         p.add_argument(
+            "--concat", default=None,
+            help="'*' or comma list: compare the raw concat of the columns "
+            "instead of its hash (reference cli_tools.py:610-617)",
+        )
+        p.add_argument(
             "--comparison-fields", default=None,
             help="comma list of value-compared columns",
         )
         p.add_argument("--trim-string-pks", action="store_true")
         p.add_argument("--case-insensitive-match", action="store_true")
+        if vtype == "row":
+            # reference cli_tools.py:567-578 (not supported for
+            # custom-query there either)
+            p.add_argument(
+                "--use-random-row", action="store_true",
+                help="validate a random sample of source primary keys "
+                "instead of the full table",
+            )
+            p.add_argument(
+                "--random-row-batch-size", type=int, default=None,
+                help="random-row sample size (default "
+                "10,000; reference -rbs)",
+            )
         p.add_argument(
             "--rate-gate", default=None, metavar="DAY_COL[:THRESHOLD]",
             help="row validation only: append a per-day Wilson-interval "
@@ -583,6 +613,12 @@ def _config_dict_from_flags(args: argparse.Namespace) -> dict:
             d["group_by"] = group
             d["type"] = "GroupedColumn" if vtype == "Column" else vtype
         d["_cast_to_bigint"] = bool(getattr(args, "cast_to_bigint", False))
+        d["_wildcard_include_string"] = bool(
+            getattr(args, "wildcard_include_string_len", False)
+        )
+        d["_wildcard_include_timestamp"] = bool(
+            getattr(args, "wildcard_include_timestamp", False)
+        )
     if args.validate_type in ("row", "custom-query"):
         pks = _split_cols(getattr(args, "primary_keys", None))
         if pks:
@@ -590,15 +626,34 @@ def _config_dict_from_flags(args: argparse.Namespace) -> dict:
         h = getattr(args, "hash", None)
         if h:
             d["hash_columns"] = "*" if h == "*" else _split_cols(h)
+        cc = getattr(args, "concat", None)
+        if cc:
+            d["concat_columns"] = "*" if cc == "*" else _split_cols(cc)
         cf = _split_cols(getattr(args, "comparison_fields", None))
         if cf:
             d["comparison_fields"] = [{"column": c} for c in cf]
+        if sum(bool(x) for x in (h, cc, cf)) > 1:
+            raise SystemExit(
+                "--hash / --concat / --comparison-fields are mutually "
+                "exclusive (reference cli_tools.py:598-626)"
+            )
         d["trim_string_pks"] = bool(getattr(args, "trim_string_pks", False))
         d["case_insensitive_match"] = bool(
             getattr(args, "case_insensitive_match", False)
         )
-        if args.validate_type == "row" and not (h or cf):
-            raise SystemExit("validate row needs --hash or --comparison-fields")
+        if getattr(args, "use_random_row", False):
+            d["use_random_row"] = True
+        rbs = getattr(args, "random_row_batch_size", None)
+        if rbs is not None:
+            d["random_row_batch_size"] = int(rbs)
+            if not getattr(args, "use_random_row", False):
+                raise SystemExit(
+                    "--random-row-batch-size requires --use-random-row"
+                )
+        if args.validate_type == "row" and not (h or cc or cf):
+            raise SystemExit(
+                "validate row needs --hash, --concat or --comparison-fields"
+            )
     if args.validate_type == "schema":
         if args.allow_list:
             d["allow_list"] = args.allow_list
@@ -630,6 +685,10 @@ def _expand_star_aggregates(cfg_dict: dict, source) -> dict:
     config is byte-identical to an explicitly written YAML."""
     star = cfg_dict.pop("_star_aggregates", None)
     cast_bigint = cfg_dict.pop("_cast_to_bigint", False)
+    # reference defaults: '*' excludes string/timestamp unless the
+    # --wildcard-include-* flags opt them in (__main__.py:77-97)
+    incl_str = cfg_dict.pop("_wildcard_include_string", False)
+    incl_ts = cfg_dict.pop("_wildcard_include_timestamp", False)
     if not star:
         return cfg_dict
     from .operators.aggregates import build_aggregate_specs
@@ -639,7 +698,9 @@ def _expand_star_aggregates(cfg_dict: dict, source) -> dict:
     for agg, cols in star.items():
         columns = "*" if cols == "*" else _split_cols(cols)
         for s in build_aggregate_specs(
-            source, [agg], columns, cast_to_bigint=cast_bigint
+            source, [agg], columns, cast_to_bigint=cast_bigint,
+            wildcard_include_string=incl_str,
+            wildcard_include_timestamp=incl_ts,
         ):
             key = (s.agg_type, s.column)
             if key in seen:

@@ -119,14 +119,24 @@ def _difference_exprs(
 
 
 def _json_escape(col: Column) -> Column:
-    """reference combiner.py:319-329 (_as_json)."""
-    return F.regexp_replace(
-        F.regexp_replace(
-            F.coalesce(col.cast("string"), F.lit("null")), r"\\", r"\\\\"
-        ),
-        '"',
-        '\\"',
-    )
+    """reference combiner.py:319-329 (_as_json).
+
+    Java ``replaceAll`` replacement semantics: ``\\X`` is an escape, so to
+    EMIT backslash-quote the replacement must be ``\\\\\"`` (Python
+    ``'\\\\\\\\"'``) — a bare ``\\"`` replacement collapses to a plain
+    quote, which produced invalid JSON whenever a group-key value contained
+    a double quote (caught by the round-4 --concat tests: concat__all
+    carries raw text). Control chars (newline/tab/CR) are escaped too —
+    they are as JSON-fatal as quotes in transcript text."""
+    s = F.coalesce(col.cast("string"), F.lit("null"))
+    # replacement `\\\\` -> two literal backslashes in Java semantics
+    s = F.regexp_replace(s, r"\\", r"\\\\")
+    # replacement `\\"` -> literal backslash + quote
+    s = F.regexp_replace(s, '"', '\\\\"')
+    s = F.regexp_replace(s, "\n", r"\\n")
+    s = F.regexp_replace(s, "\r", r"\\r")
+    s = F.regexp_replace(s, "\t", r"\\t")
+    return s
 
 
 def _group_by_columns_json(join_on_fields: tuple) -> Column:
@@ -190,12 +200,14 @@ def generate_report(
         )
 
     validations = run_metadata.validations
-    # hash__all is both join key and validated field in row validations
-    # (reference combiner.py:266-272)
+    # hash__all / concat__all is both join key and validated field in row
+    # validations (reference combiner.py:266-272; --concat mode compares
+    # the raw concat, cli_tools.py:610-617)
     fields = [
         c
         for c in source.columns
-        if c in validations and (c not in join_on_fields or c == "hash__all")
+        if c in validations
+        and (c not in join_on_fields or c in ("hash__all", "concat__all"))
     ]
     src_types = {f.name: f.dataType.simpleString() for f in source.schema.fields}
     tgt_types = {f.name: f.dataType.simpleString() for f in target.schema.fields}

@@ -133,6 +133,14 @@ class ValidationConfig:
     labels: list = field(default_factory=list)
     # row-validation hash mode: '*' or list of columns -> sha256 row hash
     hash_columns: object = None
+    # row-validation concat mode (reference --concat, cli_tools.py:610-617):
+    # same cast->ifnull->rstrip->[upper]->concat chain as hash mode but the
+    # RAW concat is compared (column concat__all), no sha256
+    concat_columns: object = None
+    # random-row mode (reference --use-random-row/--random-row-batch-size,
+    # cli_tools.py:567-578): sample N source PKs, validate only those rows
+    use_random_row: bool = False
+    random_row_batch_size: int | None = None
     trim_string_pks: bool = False
     case_insensitive_match: bool = False
     # Schema validation knobs (reference --allow-list / --exclusion-columns)
@@ -161,6 +169,13 @@ class ValidationConfig:
             threshold=float(d.get("threshold", 0.0)),
             labels=list(d.get("labels", [])),
             hash_columns=d.get("hash_columns"),
+            concat_columns=d.get("concat_columns"),
+            use_random_row=bool(d.get("use_random_row", False)),
+            random_row_batch_size=(
+                int(d["random_row_batch_size"])
+                if d.get("random_row_batch_size") is not None
+                else None
+            ),
             trim_string_pks=bool(d.get("trim_string_pks", False)),
             case_insensitive_match=bool(d.get("case_insensitive_match", False)),
             allow_list=d.get("allow_list"),

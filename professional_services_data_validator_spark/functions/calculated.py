@@ -401,6 +401,10 @@ def build_row_hash(
         h = F.sha2(concat, 256)
     elif algo == "farm_fingerprint":
         h = F.xxhash64(concat).cast("string")
+    elif algo == "concat":
+        # reference --concat (config_manager.py:1071-1072): the chain stops
+        # at 'concat' — the raw concatenation IS the compared value
+        h = concat
     else:
         raise ValueError(f"unsupported row-hash algo {algo!r}")
     return df.withColumn(hash_name, h)

@@ -135,6 +135,8 @@ def build_aggregate_specs(
     agg_types: list[str],
     columns: str | list[str] = "*",
     cast_to_bigint: bool = False,
+    wildcard_include_string: bool = True,
+    wildcard_include_timestamp: bool = True,
 ) -> list[AggregateSpec]:
     """'*'-expansion with type-driven pre-calc rewrites.
 
@@ -144,21 +146,42 @@ def build_aggregate_specs(
       epoch_seconds() for sum/avg/bit_xor/std; int32 -> bigint when
       ``cast_to_bigint`` (reference cli --cast-to-bigint).
     min/max/count keep native types.
+
+    ``wildcard_include_string`` / ``wildcard_include_timestamp``: the
+    reference's '*' expansion EXCLUDES string and timestamp/date columns
+    from non-count aggregates unless --wildcard-include-string-len /
+    --wildcard-include-timestamp opt them in (reference __main__.py:77-97
+    supported_data_types; an explicit column list always includes them,
+    __main__ widens supported_types for explicit lists at
+    config_manager.py:894-905). Library default is True — the repo's
+    documented round-1 divergence keeps type-driven expansion on for
+    programmatic callers; the CLI passes the reference defaults (False
+    unless flagged).
     """
     specs: list[AggregateSpec] = [AggregateSpec("count")]
     fields = df.schema.fields
-    if columns != "*":
+    is_star = columns == "*"
+    if not is_star:
         wanted = set(columns)
         fields = [f for f in fields if f.name in wanted]
     numericish = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType, T.DecimalType,
     )
+    tstypes = (T.TimestampType, T.TimestampNTZType, T.DateType)
     for f in fields:
         dt = f.dataType
         for agg in agg_types:
             if agg == "count":
                 specs.append(AggregateSpec("count", f.name))
+                continue
+            if is_star and isinstance(dt, T.StringType) and not (
+                wildcard_include_string
+            ):
+                continue
+            if is_star and isinstance(dt, tstypes) and not (
+                wildcard_include_timestamp
+            ):
                 continue
             precalc = None
             if agg in ("sum", "avg", "std", "bit_xor"):
@@ -1217,8 +1240,12 @@ def cohens_kappa(
     near-perfect.
 
     NULL labels are real disagreement material (a label wiped by a bad
-    ETL step must not vanish from the statistic), so both sides coalesce
-    to a reserved sentinel class before pairing.
+    ETL step must not vanish from the statistic), so NULL forms its own
+    class — carried as a struct(is_null, value) key rather than a string
+    sentinel, so no genuine label value can collide with the NULL class
+    (ADVICE r3). Caveat shared with the DuckDB oracle: labels are compared
+    by their string form (cast('string')), so distinct non-string values
+    with equal renderings (e.g. int 1 vs string '1' across tables) merge.
 
     Plan: ONE inner PK join (shuffle-free when both tables are bucketed
     on the PK) no matter how many labels — multiple labels melt through
@@ -1236,11 +1263,15 @@ def cohens_kappa(
     exact and chance correction is degenerate).
     """
     labels = [label_col] if isinstance(label_col, str) else list(label_col)
-    sentinel = "\x00NULL"
 
     def _lab(side: str, c: str):
-        return F.coalesce(
-            F.col(f"{side}.{c}").cast("string"), F.lit(sentinel)
+        v = F.col(f"{side}.{c}").cast("string")
+        # struct key: NULL is its own class, collision-free with any real
+        # string value (struct equality is null-safe on the value field
+        # because is_null disambiguates; value coalesced for group keys)
+        return F.struct(
+            v.isNull().alias("is_null"),
+            F.coalesce(v, F.lit("")).alias("value"),
         )
 
     pairs = F.explode(

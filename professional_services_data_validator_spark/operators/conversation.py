@@ -575,9 +575,15 @@ def context_budget_overflow(
         F.col(turn_col).alias("turn_idx"),
         bpe_cost(F.col(text_col)).alias("cost"),
     )
+    # ADVICE r3: order by (turn_idx, cost) — with duplicate turn_idx values
+    # the intra-tie row order would otherwise be nondeterministic and
+    # turns_within_budget could vary run-to-run. Cost as the tiebreaker
+    # makes the running-sum SEQUENCE deterministic (equal turn_idx + equal
+    # cost rows are interchangeable in a prefix sum), and the DuckDB oracle
+    # applies the identical ordering.
     w = (
         Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
+        .orderBy("turn_idx", "cost")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = per_turn.withColumn("cum", F.sum("cost").over(w))

@@ -69,6 +69,18 @@ def _prepare(
             if hash_columns == "*"
             else list(hash_columns)
         )
+        if hash_algo == "concat":
+            # reference --concat (cli_tools.py:610-617): the same
+            # cast->ifnull->rstrip->[upper]->concat chain as --hash but the
+            # RAW concat is the compared value (config_manager.py:1071-1072
+            # order_of_operations stops at 'concat'); column concat__all
+            out = build_row_hash(
+                df, cols, case_insensitive=case_insensitive,
+                algo="concat", hash_name="concat__all",
+            )
+            return (
+                out.select(*primary_keys, "concat__all"), ["concat__all"]
+            )
         hashed = build_row_hash(
             df, cols, case_insensitive=case_insensitive, algo=hash_algo
         )
@@ -93,6 +105,7 @@ def row_compare(
     primary_keys: list[str],
     comparison_fields: list[ComparisonFieldSpec] | None = None,
     hash_columns=None,
+    concat_columns=None,
     run_metadata: RunMetadata | None = None,
     source_table: str = "source",
     target_table: str = "target",
@@ -102,26 +115,42 @@ def row_compare(
 ) -> DataFrame:
     """Full reference-parity row-validation report (one report row per PK per
     compared field). Use ``row_violations``/``row_compare_verdicts`` for the
-    scale path — this full report is reference semantics, O(rows) output."""
+    scale path — this full report is reference semantics, O(rows) output.
+
+    ``concat_columns`` ('*' or list): reference --concat mode — compare the
+    raw cast->ifnull->rstrip concat (column concat__all) instead of its
+    sha256. Mutually exclusive with hash_columns/comparison_fields."""
     run_metadata = run_metadata or RunMetadata()
+    algo = "sha256"
+    if concat_columns is not None:
+        if hash_columns is not None or comparison_fields:
+            raise ValueError(
+                "concat_columns is mutually exclusive with "
+                "hash_columns/comparison_fields"
+            )
+        hash_columns, algo = concat_columns, "concat"
     src_prep, fields = _prepare(
         source, primary_keys, comparison_fields, hash_columns,
-        trim_string_pks, case_insensitive,
+        trim_string_pks, case_insensitive, hash_algo=algo,
     )
     tgt_prep, _ = _prepare(
         target, primary_keys, comparison_fields, hash_columns,
-        trim_string_pks, case_insensitive,
+        trim_string_pks, case_insensitive, hash_algo=algo,
     )
-    join_on = list(primary_keys) + (["hash__all"] if hash_columns is not None else [])
+    join_on = list(primary_keys) + (fields if hash_columns is not None else [])
     for name in fields:
         run_metadata.validations[name] = ValidationMeta(
             name=name,
             validation_type=consts.ROW_VALIDATION,
             aggregation_type=None,
             source_table_name=source_table,
-            source_column_name=name if name != "hash__all" else None,
+            source_column_name=(
+                name if name not in ("hash__all", "concat__all") else None
+            ),
             target_table_name=target_table,
-            target_column_name=name if name != "hash__all" else None,
+            target_column_name=(
+                name if name not in ("hash__all", "concat__all") else None
+            ),
             threshold=threshold,
             primary_keys=tuple(primary_keys),
             field_type=dict(
@@ -241,6 +270,7 @@ def random_row_compare(
     seed: int = 42,
     comparison_fields: list[ComparisonFieldSpec] | None = None,
     hash_columns="*",
+    concat_columns=None,
     run_metadata: RunMetadata | None = None,
 ) -> DataFrame:
     """Random-row validation (reference --use-random-row,
@@ -261,7 +291,12 @@ def random_row_compare(
     report = row_compare(
         src, tgt, primary_keys,
         comparison_fields=comparison_fields,
-        hash_columns=hash_columns if comparison_fields is None else None,
+        hash_columns=(
+            hash_columns
+            if comparison_fields is None and concat_columns is None
+            else None
+        ),
+        concat_columns=concat_columns,
         run_metadata=rm,
     )
     return report.withColumn("num_random_rows", F.lit(num_rows).cast("long"))

@@ -126,12 +126,41 @@ def run_validation(
         if config.filters:
             src = apply_filters(src, config.filters, "source")
             tgt = apply_filters(tgt, config.filters, "target")
+        if config.use_random_row:
+            # reference --use-random-row/--random-row-batch-size
+            # (cli_tools.py:567-578): sample N source PKs, validate only
+            # those rows — here a broadcast semi-join, no IN-list chunking
+            from ..operators.row_compare import random_row_compare
+
+            return random_row_compare(
+                src,
+                tgt,
+                config.primary_keys,
+                num_rows=(
+                    config.random_row_batch_size
+                    or consts.DEFAULT_NUM_RANDOM_ROWS
+                ),
+                comparison_fields=config.comparison_fields or None,
+                hash_columns=(
+                    config.hash_columns
+                    if config.hash_columns is not None
+                    else (
+                        "*"
+                        if not config.comparison_fields
+                        and config.concat_columns is None
+                        else None
+                    )
+                ),
+                concat_columns=config.concat_columns,
+                run_metadata=run_metadata,
+            )
         return row_compare(
             src,
             tgt,
             config.primary_keys,
             comparison_fields=config.comparison_fields or None,
             hash_columns=config.hash_columns,
+            concat_columns=config.concat_columns,
             run_metadata=run_metadata,
             source_table=config.source_table,
             target_table=config.target_table,

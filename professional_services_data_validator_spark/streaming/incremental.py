@@ -632,10 +632,18 @@ def stream_loop_monitor(
             state.get if state.exists else (-2, 0, None, None)
         )
         rows = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(turn_col)
+        # ADVICE r3: a conversation's microbatch slice can span multiple
+        # Arrow chunks (> arrow.maxRecordsPerBatch rows); sorting each chunk
+        # independently would accumulate turns out of global order. One
+        # conversation's slice is small by construction (turns/conv, not
+        # corpus-sized), so materialize-and-sort-once is safe.
+        chunks = [p for p in pdf_iter if len(p)]
+        whole = (
+            pd.concat(chunks, ignore_index=True).sort_values(turn_col)
+            if chunks
+            else None
+        )
+        for pdf in [whole] if whole is not None else []:
             turns = pdf[turn_col].to_numpy().astype("int64")
             roles = pdf[role_col].astype("object").to_numpy()
             hashes = np.array(
@@ -729,10 +737,16 @@ def stream_context_budget_monitor(
             state.get if state.exists else (0, 0, False)
         )
         rows = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(turn_col)
+        # ADVICE r3: sort the WHOLE microbatch slice of this conversation,
+        # not each Arrow chunk independently — otherwise the first-crossing
+        # turn_idx/cum_tokens can be wrong when the slice spans chunks.
+        chunks = [p for p in pdf_iter if len(p)]
+        whole = (
+            pd.concat(chunks, ignore_index=True).sort_values(turn_col)
+            if chunks
+            else None
+        )
+        for pdf in [whole] if whole is not None else []:
             turns = pdf[turn_col].to_numpy().astype("int64")
             costs = [_cost(t) for t in pdf[text_col].astype("object")]
             for t, c in zip(turns, costs):

@@ -231,3 +231,25 @@ def test_report_has_20_reference_columns(spark):
     rep = generate_report(src, tgt, rm)
     assert rep.columns == REPORT_COLUMNS
     assert len(REPORT_COLUMNS) == 20
+
+
+def test_group_key_json_escaping_round_trips(spark):
+    """Round-4 regression: group-key values containing quotes, backslashes
+    or control characters must still produce VALID JSON (Java replaceAll
+    replacement semantics ate the backslash in the quote escape, so any
+    quoted text in a join key emitted unparseable group_by_columns)."""
+    import json
+
+    from professional_services_data_validator_spark.combiner import (
+        _group_by_columns_json,
+    )
+
+    values = ['a"b', "c\\d", "e\nf", 'q\t"\\x', "plain"]
+    df = spark.createDataFrame([(v,) for v in values], "k string")
+    out = [
+        r[0]
+        for r in df.select(
+            _group_by_columns_json(("k",)).alias("j")
+        ).collect()
+    ]
+    assert sorted(json.loads(j)["k"] for j in out) == sorted(values)
