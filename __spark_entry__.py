@@ -257,6 +257,58 @@ def q_row_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _build_row_violations(spark, sf_dir).orderBy("conv_id", "turn_idx")
 
 
+def q_row_concat_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference --concat row mode (cli_tools.py:610-617,
+    config_manager.py:1071-1072): the compared value is the RAW
+    cast->ifnull->rstrip concat (concat__all), not its sha256 — same join
+    shape as row_hash_violations, but the shuffle carries the concat
+    payload, which is exactly why --hash is the default at scale and
+    --concat is the debugging mode (you see the differing bytes, not two
+    opaque digests)."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators import (
+        row_violations,
+    )
+
+    src = _with_epoch(spark.table("transcripts")).drop("ts", "event_id")
+    tgt = _with_epoch(spark.table("transcripts_target")).drop(
+        "ts", "event_id"
+    )
+    return row_violations(
+        src, tgt, ["conv_id", "turn_idx"],
+        hash_columns=["role", "text", "tool", "ts_us"],
+        hash_algo="concat",
+    ).orderBy("conv_id", "turn_idx")
+
+
+_SQL_ROW_CONCAT_VIOLATIONS = f"""{_CTES},
+sh AS (SELECT conv_id, turn_idx,
+  rtrim(coalesce(CAST(role AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(text AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(tool AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(epoch_us(ts) AS VARCHAR),
+                        'DEFAULT_REPLACEMENT_STRING'))
+   AS h FROM transcripts),
+th AS (SELECT conv_id, turn_idx,
+  rtrim(coalesce(CAST(role AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(text AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(tool AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
+      || rtrim(coalesce(CAST(epoch_us(ts) AS VARCHAR),
+                        'DEFAULT_REPLACEMENT_STRING'))
+   AS h FROM transcripts_target)
+SELECT coalesce(sh.conv_id, th.conv_id) AS conv_id,
+  coalesce(sh.turn_idx, th.turn_idx) AS turn_idx,
+  CASE WHEN th.conv_id IS NULL THEN 'missing_in_target'
+       WHEN sh.conv_id IS NULL THEN 'missing_in_source'
+       WHEN sh.h <> th.h THEN 'hash_mismatch' END AS violation_type,
+  sh.h AS source_hash, th.h AS target_hash
+FROM sh FULL OUTER JOIN th
+  ON sh.conv_id = th.conv_id AND sh.turn_idx = th.turn_idx
+WHERE th.conv_id IS NULL OR sh.conv_id IS NULL OR sh.h <> th.h
+ORDER BY 1, 2
+"""
+
+
 _SQL_ROW_VIOLATIONS = f"""{_CTES},
 sh AS (SELECT conv_id, turn_idx,
   sha256(rtrim(coalesce(CAST(role AS VARCHAR), 'DEFAULT_REPLACEMENT_STRING'))
@@ -1182,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_validation_report": q_column_validation,
         "grouped_validation_by_day": q_grouped_validation,
         "row_hash_violations": q_row_violations,
+        "row_concat_violations": q_row_concat_violations,
         "partition_checksum_compare": q_partition_checksums,
         "snapshot_delta_rows": q_snapshot_delta_rows,
         "snapshot_delta_detail": q_snapshot_delta_detail,
@@ -1212,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "column_validation_report": _SQL_COLUMN_VALIDATION,
         "grouped_validation_by_day": _SQL_GROUPED_VALIDATION,
         "row_hash_violations": _SQL_ROW_VIOLATIONS,
+        "row_concat_violations": _SQL_ROW_CONCAT_VIOLATIONS,
         "partition_checksum_compare": _SQL_PARTITION_CHECKSUMS,
         "snapshot_delta_rows": _SQL_SNAPSHOT_DELTA_ROWS,
         "snapshot_delta_detail": _SQL_SNAPSHOT_DELTA_DETAIL,

@@ -228,11 +228,13 @@ def row_violations(
     shape); ``null_safe_pks`` aligns NULL PKs with <=>.
     """
     binary = hash_algo == "sha256"
-    src_prep, _ = _prepare(source, primary_keys, None, hash_columns, False,
-                           case_insensitive, hash_algo, binary_hash=binary)
+    src_prep, fields = _prepare(source, primary_keys, None, hash_columns,
+                                False, case_insensitive, hash_algo,
+                                binary_hash=binary)
     tgt_prep, _ = _prepare(target, primary_keys, None, hash_columns, False,
                            case_insensitive, hash_algo, binary_hash=binary)
-    j = _joined(src_prep, tgt_prep, primary_keys, ["hash__all"],
+    cmp_col = fields[0]  # hash__all, or concat__all under --concat mode
+    j = _joined(src_prep, tgt_prep, primary_keys, [cmp_col],
                 null_safe=null_safe_pks)
     src_p = F.col("__src_present").isNotNull()
     tgt_p = F.col("__tgt_present").isNotNull()
@@ -240,7 +242,7 @@ def row_violations(
         F.when(~tgt_p, F.lit("missing_in_target"))
         .when(~src_p, F.lit("missing_in_source"))
         .when(
-            F.col("__src_hash__all") != F.col("__tgt_hash__all"),
+            F.col(f"__src_{cmp_col}") != F.col(f"__tgt_{cmp_col}"),
             F.lit("hash_mismatch"),
         )
     )
@@ -256,8 +258,8 @@ def row_violations(
         .select(
             *primary_keys,
             "violation_type",
-            _out("__src_hash__all").alias("source_hash"),
-            _out("__tgt_hash__all").alias("target_hash"),
+            _out(f"__src_{cmp_col}").alias("source_hash"),
+            _out(f"__tgt_{cmp_col}").alias("target_hash"),
         )
     )
 

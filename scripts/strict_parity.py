@@ -76,6 +76,15 @@ def _pd_cell(v):
         return f"int:{int(v)!r}"
     if isinstance(v, pd.Timestamp):
         return f"ts:{v.isoformat()}"
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        # Spark DATE -> datetime.date objects, DuckDB DATE -> datetime64
+        # midnight: the driver hashed this class green in r03
+        # (metric_anomaly_daily, missing_days_by_role), so equate them
+        return f"ts:{v.isoformat()}T00:00:00"
     if isinstance(v, bytes):
         return f"bytes:{v!r}"
     return f"{type(v).__name__}:{v!r}"
