@@ -2728,7 +2728,12 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 3: the deterministic centroids are retrained by an independent
     pure-Python replay (kmeans_centroids_local) and inlined as literals into
     a DuckDB SQL that replays assignment + nprobe + top-k — the same
-    literal-inlining trick as the SRP planes (_srp_oracle_sql)."""
+    literal-inlining trick as the SRP planes (_srp_oracle_sql).
+
+    Round 4 (VERDICT r3 #4): the quantizer trains on a deterministic
+    512-row md5-sample (kmeans_centroids_sampled — one bounded Spark job +
+    driver Lloyd, FAISS-style) instead of iters+1 full-corpus jobs; the
+    oracle re-draws the identical sample."""
     _prep(spark, sf_dir)
     from professional_services_data_validator_spark.operators.similarity import (
         ivf_kmeans_topk,
@@ -2737,12 +2742,17 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return ivf_kmeans_topk(
-        emb, q, k=5, nprobe=3, n_clusters=10, iters=3
+        emb, q, k=5, nprobe=3, n_clusters=10, iters=3,
+        train_sample=KMEANS_TRAIN_SAMPLE,
     ).select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
 
 
 _TRAINING_QUERIES["embedding_kmeans_ann"] = q_embedding_kmeans
 
+
+# contract-pinned quantizer training-sample size (Spark side and oracle must
+# draw the same deterministic md5-sample)
+KMEANS_TRAIN_SAMPLE = 512
 
 _KMEANS_ORACLE_CACHE: dict[str, str] = {}
 
@@ -2777,6 +2787,13 @@ def _kmeans_oracle_sql(sf_dir: str | None = None) -> str:
         f"SELECT vec_id, embedding FROM "
         f"read_parquet('{sf_dir}/embeddings.parquet')"
     ).fetchall()
+    # identical deterministic md5-sample as kmeans_centroids_sampled (the
+    # Spark trainer): smallest KMEANS_TRAIN_SAMPLE md5(id) rows
+    import hashlib
+
+    rows = sorted(
+        rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest()
+    )[:KMEANS_TRAIN_SAMPLE]
     centers = kmeans_centroids_local(rows, n_clusters=10, iters=3)
     score_exprs = []
     for c in centers:
@@ -4023,10 +4040,10 @@ c AS (SELECT "column", value, CAST(count(*) AS DOUBLE) AS n
 SELECT "column",
   CAST(SUM(n) AS BIGINT) AS n_nonnull,
   CAST(COUNT(*) AS BIGINT) AS n_distinct,
-  ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6) AS entropy,
+  ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6) + 0.0 AS entropy,
   ROUND(CASE WHEN COUNT(*) > 1
         THEN (ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) / ln(COUNT(*))
-        ELSE 0 END, 6) AS norm_entropy,
+        ELSE 0 END, 6) + 0.0 AS norm_entropy,
   ROUND(COUNT(*) / SUM(n), 6) AS uniqueness_ratio
 FROM c GROUP BY "column" ORDER BY "column"
 """

@@ -661,14 +661,23 @@ def column_entropy(df: DataFrame, columns: list[str]) -> DataFrame:
     n = F.sum("n")
     h = F.log(n) - F.sum(F.col("n") * F.log("n")) / n
     d = F.count(F.lit(1))
+    # + 0.0 after ROUND: the ln(N) - sum(n ln n)/N identity can land an
+    # epsilon below zero when one value holds all mass, and ROUND keeps the
+    # IEEE sign (-0.0) — adding +0.0 canonicalizes it so a value-hash
+    # comparison against the oracle (which does the same) can't diverge on
+    # the zero's sign (caught at sf1, round 4).
     return (
         counts.groupBy("column")
         .agg(
             n.alias("n_nonnull"),
             d.alias("n_distinct"),
-            F.round(h, 6).alias("entropy"),
-            F.round(
-                F.when(d > 1, h / F.log(d.cast("double"))).otherwise(0.0), 6
+            (F.round(h, 6) + F.lit(0.0)).alias("entropy"),
+            (
+                F.round(
+                    F.when(d > 1, h / F.log(d.cast("double"))).otherwise(0.0),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("norm_entropy"),
             F.round(d / n, 6).alias("uniqueness_ratio"),
         )

@@ -426,6 +426,42 @@ def kmeans_centroids_local(
     return centers
 
 
+def kmeans_centroids_sampled(
+    corpus: DataFrame,
+    n_clusters: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 512,
+) -> list[list[float]]:
+    """Sample-trained coarse quantizer — the 100-TB path (VERDICT r3 #4).
+
+    Standard IVF practice (FAISS trains quantizers on ~30×k sampled
+    vectors, never the full corpus): take the ``sample_size`` rows with the
+    smallest md5(id) — the same seeded, engine-portable pseudo-random draw
+    as deterministic_sample — in ONE Spark job (TakeOrderedAndProject:
+    per-partition partial top-k, no full sort, O(sample) driver memory),
+    then run the pure-Python Lloyd replay on the driver. Versus the
+    distributed trainer this replaces ``iters + 1`` full-corpus Spark jobs
+    with one bounded sample job: at billions of vectors the quantizer cost
+    becomes O(sample × iters) on the driver instead of O(corpus × iters)
+    across the cluster, and at bench scale it removes the per-iteration job
+    overhead that dominated the timing. Deterministic and independently
+    replayable: the DuckDB oracle re-draws the identical sample (same md5
+    order) and calls the same local Lloyd.
+    """
+    rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(sample_size)
+        .collect()
+    )
+    return kmeans_centroids_local(
+        [(r[id_col], list(r[vec_col])) for r in rows], n_clusters, iters
+    )
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -436,6 +472,7 @@ def ivf_kmeans_topk(
     n_clusters: int = 10,
     iters: int = 3,
     round_digits: int = 4,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF ANN over a *trained* k-means coarse quantizer.
 
@@ -444,8 +481,18 @@ def ivf_kmeans_topk(
     fold, no shuffle), queries probe their ``nprobe`` best clusters, and
     only those cells are scanned. Recall vs brute_force_topk is measured in
     tests (pytest recall@k bound).
+
+    ``train_sample``: when set, the quantizer trains on a deterministic
+    md5-sample of that size via ``kmeans_centroids_sampled`` (the scale
+    path — one bounded Spark job + driver-side Lloyd) instead of the
+    ``iters + 1``-job distributed trainer.
     """
-    centers = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
+    if train_sample:
+        centers = kmeans_centroids_sampled(
+            corpus, n_clusters, iters, id_col, vec_col, train_sample
+        )
+    else:
+        centers = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
     c_scores = _assign_scores(F.col(vec_col), centers)
     tagged = corpus.select(
         F.col(id_col).alias("neighbor_id"),

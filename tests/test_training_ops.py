@@ -213,6 +213,53 @@ def test_kmeans_local_replay_matches_spark(spark, sf_dir):
     assert spark_c == local_c
 
 
+def test_kmeans_sampled_trainer_matches_oracle_draw(spark, sf_dir):
+    """The scale-path trainer (kmeans_centroids_sampled: one Spark
+    TakeOrdered job + driver Lloyd) must produce exactly the centroids the
+    DuckDB oracle derives by re-drawing the same md5-sample locally — and
+    when the sample covers the whole corpus it must equal the full local
+    replay."""
+    import hashlib
+
+    from professional_services_data_validator_spark.operators.similarity import (
+        kmeans_centroids_local,
+        kmeans_centroids_sampled,
+    )
+
+    emb = _emb(spark, sf_dir)
+    rows = [(r["vec_id"], list(r["embedding"])) for r in
+            emb.select("vec_id", "embedding").collect()]
+    for n in (64, 10**9):  # proper subset + sample-covers-all
+        sample = sorted(
+            rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest()
+        )[:n]
+        local_c = kmeans_centroids_local(sample, n_clusters=8, iters=2)
+        spark_c = kmeans_centroids_sampled(
+            emb, n_clusters=8, iters=2, sample_size=n
+        )
+        assert spark_c == local_c
+
+
+def test_kmeans_sampled_recall_on_clustered_fixture(spark):
+    """The sampled trainer must still recover well-separated blobs: recall@5
+    >= 0.8 vs brute force with a 100-row training sample (half the
+    fixture)."""
+    from professional_services_data_validator_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+
+    emb = _clustered_embeddings(spark)
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_kmeans_topk(
+        emb, q, k=5, nprobe=2, n_clusters=8, iters=3, train_sample=100
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"sampled-trainer recall@5 too low: {recall}"
+
+
 def _clustered_embeddings(spark, n_clusters=8, per_cluster=25, dim=16):
     """Deterministic clustered fixture: tight Gaussian-ish blobs around
     well-separated random centers (seeded PRNG). Unlike the random sf
