@@ -46,11 +46,25 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     """Register views once per (session, sf_dir); cache derived transcripts
     so repeated queries measure validation work, not fixture re-derivation."""
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
-    key = (id(spark), sf_dir, replicate)
+    rep_docs = int(os.environ.get("SPARK_GRAFT_REPLICATE_DOCS", "1"))
+    key = (id(spark), sf_dir, replicate, rep_docs)
     if _PREPPED.get(key):
         return
     load_tables(spark, sf_dir)
     register_transcripts(spark, sf_dir, cache=True, replicate=replicate)
+    if rep_docs > 1:
+        # docs-shape scaling protocol: scale the dedup/curation corpus
+        # in-Spark (replica-tagged tokens preserve the dup rate; see
+        # sources.readers.replicate_documents)
+        from professional_services_data_validator_spark.sources.readers import (
+            replicate_documents,
+        )
+
+        docs = replicate_documents(
+            spark.table("documents"), rep_docs
+        ).persist()
+        docs.count()  # materialize outside any timed region
+        docs.createOrReplaceTempView("documents")
     _PREPPED.clear()
     _PREPPED[key] = True
 

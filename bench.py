@@ -140,6 +140,10 @@ def run_suite(
     spark.range(1).collect()
     entrymod._prep(spark, sf_dir)
     n_rows = spark.table("transcripts").count()
+    if int(os.environ.get("SPARK_GRAFT_REPLICATE_DOCS", "1")) > 1:
+        # docs-shape scaling run: throughput denominates in corpus docs
+        # (the replicated documents view _prep registered), not turns
+        n_rows = spark.table("documents").count()
     spark.table("transcripts_target").count()
     spark.table("dim_conversations").count()
 

@@ -218,6 +218,40 @@ def replicate_events(events: DataFrame, factor: int):
     ).repartition(64, "user_id")
 
 
+def replicate_documents(docs: DataFrame, factor: int):
+    """Deterministically scale the documents corpus by ``factor`` inside
+    Spark for the docs-shape scaling protocol (dedup / curation jobs).
+
+    Each replica shifts doc_id into a disjoint range; replica 0 keeps the
+    original text, every other replica prefixes each token with a replica
+    tag (``qkq``) so replicas share NO shingles. This preserves the
+    intra-replica duplicate structure exactly (the dup rate the LSH /
+    connected-components workload is sized by) while avoiding the
+    quadratic cross-replica near-dup blowup verbatim copies would create
+    (every doc would gain factor-1 twins, growing LSH pairs by
+    C(factor, 2) per doc — a different workload, not a bigger one).
+    """
+    from pyspark.sql import functions as F
+
+    r = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+    rep = docs.select("*", r)
+    tag = F.concat(F.lit(" q"), F.col("__r").cast("string"), F.lit("q"))
+    # prepend a space before replacing so the FIRST token is tagged too —
+    # the leading " qkq" merges into it ("a b" -> " qkqa qkqb" -> trim)
+    tagged = F.trim(
+        F.regexp_replace(F.concat(F.lit(" "), F.col("text")), F.lit(" "), tag)
+    )
+    return rep.select(
+        (F.col("doc_id") + F.col("__r").cast("long") * F.lit(10_000_000_000))
+        .alias("doc_id"),
+        F.when(F.col("__r") == 0, F.col("text")).otherwise(tagged)
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).repartition(64, "doc_id")
+
+
 def register_transcripts(
     spark: SparkSession, sf_dir: str, cache: bool = False, replicate: int = 1
 ) -> None:

@@ -74,3 +74,39 @@ def test_random_row_compare(spark, transcripts):
     k1 = sorted(r.group_by_columns for r in rows)
     k2 = sorted(r.group_by_columns for r in rep2.collect())
     assert k1 == k2
+
+
+def test_replicate_documents_scaling_fixture(spark):
+    """Docs-shape scaling fixture: factor-x corpus with disjoint replica
+    vocabularies (no cross-replica near-dups) and intact intra-replica
+    duplicate structure."""
+    from pyspark.sql import Row
+
+    from professional_services_data_validator_spark.sources.readers import (
+        replicate_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma", lang="en",
+                source="web", n_chars=16),
+            Row(doc_id=2, text="alpha beta gamma", lang="en",
+                source="web", n_chars=16),  # intra-replica dup of doc 1
+            Row(doc_id=3, text="delta epsilon zeta", lang="en",
+                source="web", n_chars=18),
+        ]
+    )
+    rep = replicate_documents(docs, 3)
+    rows = {r.doc_id: r.text for r in rep.collect()}
+    assert len(rows) == 9
+    # replica 0 keeps the original text
+    assert rows[1] == "alpha beta gamma"
+    # replicas share NO tokens
+    t0 = set(rows[1].split())
+    t1 = set(rows[10_000_000_001].split())
+    t2 = set(rows[20_000_000_001].split())
+    assert not (t0 & t1) and not (t1 & t2)
+    # intra-replica duplicate structure preserved in every replica
+    for base in (0, 10_000_000_000, 20_000_000_000):
+        assert rows[base + 1] == rows[base + 2]
+        assert rows[base + 1] != rows[base + 3]
