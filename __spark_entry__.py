@@ -2053,6 +2053,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup clustering contract resolved with the alternating
+    large-star/small-star algorithm (Kiveris et al., SoCC '14) — the
+    O(log n)-round component resolver for high-diameter dup graphs, where
+    min-label propagation would need diameter-many rounds. Identical
+    (doc_id, cluster_id, cluster_size, is_canonical) output, so it shares
+    dedup_clusters' recursive-CTE oracle verbatim."""
+    _prep(spark, sf_dir)
+    from professional_services_data_validator_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    return dedup_clusters(
+        spark.table("documents"), "doc_id", "text",
+        k=2, num_hashes=8, bands=4, threshold=0.5, components="star",
+    ).orderBy("doc_id")
+
+
 # Same LSH CTE chain as _SQL_LSH_DEDUP (identical params), then: symmetric
 # edge list -> recursive min-label reachability -> min per node = component
 # id (graph is symmetric, so min reachable label == component min).
@@ -2465,6 +2483,7 @@ _TRAINING_QUERIES.update(
         "stratified_sample": q_stratified_sample,
         "unigram_logppl": q_unigram_logppl,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "lsh_dedup_pairs": q_lsh_dedup,
         "simhash_near_pairs": q_simhash_near,
         "doc_quality": q_doc_quality,
@@ -2604,6 +2623,9 @@ _TRAINING_ORACLES.update(
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "unigram_logppl": _SQL_UNIGRAM_LOGPPL,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        # star and propagation resolvers share one output contract — and
+        # therefore one oracle (the recursive CTE computes component minima)
+        "dedup_clusters_star": _SQL_DEDUP_CLUSTERS,
         "lsh_dedup_pairs": _SQL_LSH_DEDUP,
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "doc_quality": _SQL_DOC_QUALITY,

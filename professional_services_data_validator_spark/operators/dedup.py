@@ -446,6 +446,143 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC '14) — the
+    O(log n)-round resolver for HIGH-DIAMETER near-dup graphs, where the
+    simple min-label propagation in :func:`connected_components` needs
+    one round per hop of component diameter.
+
+    When to use which: dup groups from LSH banding are near-cliques
+    (diameter 2-4), so propagation wins on fixed per-round cost. Graphs
+    stitched through transitive links — cross-doc span chains, entity
+    resolution, templated documents sharing staggered n-gram windows —
+    can have diameter O(component size); there each star round HALVES
+    tree height, so convergence is O(log n) rounds regardless of shape.
+
+    One round = two edge-rewrite steps, each a single groupBy shuffle over
+    the edge list (O(E)) plus a distinct:
+
+    - large-star: every node u connects its STRICTLY LARGER neighbors to
+      m(u) = min(N(u) ∪ {u});
+    - small-star: edges oriented (hi, lo); every hi connects its smaller
+      neighbors and itself to the min of them.
+
+    Both steps preserve connectivity and never raise a node's parent, so
+    the edge multiset converges to a star forest: (child, component-min)
+    for every non-min node. Convergence is detected from an order-free
+    fingerprint of the edge set (count + XOR of xxhash64(u, v)) — two
+    consecutive equal fingerprints end the loop; `localCheckpoint` after
+    each round cuts the iterative lineage exactly as the propagation
+    resolver does. Only edge-incident nodes enter the loop; singletons
+    join straight into the final left join.
+
+    Returns (id, cluster_id) with cluster_id = the component's min node id
+    — identical contract to :func:`connected_components`, so the two are
+    drop-in interchangeable (property-tested equivalent on random graphs).
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # order-free edge-set id: (n_edges, XOR of per-edge hashes) over the
+        # CANONICAL undirected form (edges are distinct, so XOR-over-set is
+        # exact up to hash collisions, ~2^-64 per round — and never
+        # overflows under ANSI arithmetic, unlike a 64-bit SUM). A false
+        # "converged" needs two colliding sets the star steps could still
+        # change; the labels are then still guarded by the min-aggregate.
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64(
+                    F.least(F.col("u"), F.col("v")),
+                    F.greatest(F.col("u"), F.col("v")),
+                )
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(edges)
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: strictly-larger neighbors hook onto min(N(u)∪{u})
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: orient (hi, lo); hi and its smaller neighbors
+        # all hook onto the minimum of the neighborhood
+        hi_lo = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mins2 = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            hi_lo.join(mins2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_fp = _fingerprint(small)
+        edges = small
+        if new_fp == fp:
+            converged = True
+            break
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — edge fingerprint still changing"
+        )
+    # at convergence the edge set is a star forest oriented (child > root):
+    # every non-root node appears exactly once as u with v = component min
+    # at the converged star state each child carries exactly one (child,
+    # root) edge; the min-aggregate is a no-op then, and a cheap guard (the
+    # frame is O(non-singleton nodes)) against a fingerprint false-positive
+    labels = (
+        edges.groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("lbl"), F.col("id")).alias("cluster_id")
+        )
+    )
+    return out
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,
@@ -454,11 +591,19 @@ def dedup_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    components: str = "propagation",
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH pairs -> connected
     components -> per-doc cluster assignment with a deterministic canonical
     representative (the min doc id of the cluster — what a training-data
     pipeline keeps; the rest are dropped as near-duplicates).
+
+    ``components`` picks the resolver: ``"propagation"`` (min-label rounds
+    = component diameter — right for the near-clique LSH dup-group shape)
+    or ``"star"`` (Kiveris alternating large/small star, O(log n) rounds —
+    right when transitive chains make components deep). Both return the
+    identical (id, component-min) labeling, so the output contract — and
+    the DuckDB oracle — is the same either way.
 
     Output: (doc_id, cluster_id, cluster_size, is_canonical), one row per
     input doc. cluster_size is computed with a window partitioned by
@@ -471,7 +616,12 @@ def dedup_clusters(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands,
         threshold=threshold,
     )
-    comp = connected_components(pairs, df.select(id_col), id_col=id_col)
+    resolver = (
+        connected_components_star
+        if components == "star"
+        else connected_components
+    )
+    comp = resolver(pairs, df.select(id_col), id_col=id_col)
     return cluster_assignments(comp, id_col)
 
 

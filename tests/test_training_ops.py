@@ -1191,3 +1191,99 @@ def test_embedding_novelty_cross_table(spark):
     # -w: orthogonal to v (cos 0), anti-parallel to w (cos -1) -> novel
     assert r2.is_novel and r2.n_matches == 0
     assert r2.max_cos is None and r2.nearest_id is None
+
+
+def test_star_components_chain_and_singletons(spark):
+    """Large/small-star CC crosses multi-hop chains and leaves edgeless
+    nodes as their own singletons — the identical contract to the
+    propagation resolver on the canonical chain fixture."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], ["id"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_star_components_logarithmic_rounds_on_deep_chain(spark):
+    """The star algorithm's reason to exist: a 33-node path has diameter 32,
+    so min-label propagation needs ~32 rounds — alternating star must
+    resolve it in O(log n) (each round halves tree height). max_iter=10
+    would make propagation raise; star converges well inside it."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(pairs, nodes, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_components_equivalent_to_propagation_random_graphs(spark):
+    """Property: the two resolvers are drop-in interchangeable — identical
+    (id, cluster_id) labeling on seeded random graphs mixing cliques,
+    chains, and singletons (the shapes LSH/span-link dup graphs take)."""
+    import random
+
+    from professional_services_data_validator_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        n = 60
+        edges = set()
+        # random sparse edges + one long chain + one clique
+        for _ in range(40):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        for i in range(45, 55):
+            edges.add((i, i + 1))
+        for a in (30, 31, 32):
+            for b in (31, 32, 33):
+                if a < b:
+                    edges.add((a, b))
+        pairs = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        prop = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes).collect()
+        }
+        star = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components_star(pairs, nodes).collect()
+        }
+        assert star == prop, f"seed {seed}: star != propagation"
+
+
+def test_star_components_empty_pairs(spark):
+    """No edges: every node is its own cluster, loop exits on round one."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (3, 8)], ["id"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(pairs, nodes).collect()
+    }
+    assert got == {3: 3, 8: 8}
