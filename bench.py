@@ -264,9 +264,15 @@ def _run_suite_subprocess(master: str, replicate: int, ncores: int = 0) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__)]
     if ncores and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, check=True
-    )
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    if out.returncode != 0:
+        # surface the child's failure — a swallowed stderr turns one bad
+        # run into an undiagnosable empty protocol output
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(
+            f"suite subprocess {master} exited {out.returncode}; "
+            "stderr tail above"
+        )
     res = json.loads(out.stdout.strip().splitlines()[-1])
     # steal_pct/user_pct come from the CHILD, sampled around just the timed
     # loop — the parent's whole-subprocess window would dilute them with
