@@ -397,36 +397,41 @@ def connected_components(
     )
     # round-0 fold: start from min(own id, min neighbor id) — one aggregate
     # over the (already symmetric) edge list replaces a whole propagation
-    # round, so near-clique dup groups usually converge in 1-2 loop rounds
+    # round, so near-clique dup groups usually converge in 1-2 loop rounds.
+    # least(id, min(dst)) folds the own-id term in closed form instead of
+    # unioning a distinct'd self-edge frame (one O(E) shuffle saved).
     labels = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select("src", F.col("src").alias("dst")).distinct()
-        )
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.min("dst").alias("lbl"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__m"))
+        .select("id", F.least(F.col("id"), F.col("__m")).alias("lbl"))
         .localCheckpoint()
     )
     converged = False
     for _ in range(max_iter):
+        # ONE shuffle chain per round: the old label rides the same
+        # aggregate as the neighbor messages (min(old) is exact — each id
+        # has exactly one base row), so convergence is a joinless filter
+        # over the checkpointed result instead of a second O(V) shuffle
+        # join per round. By edge symmetry every msg id already has a base
+        # row, so old is never NULL.
         msgs = edges.join(
             labels.select(F.col("id").alias("src"), "lbl"), "src"
-        ).select(F.col("dst").alias("id"), "lbl")
+        ).select(
+            F.col("dst").alias("id"),
+            "lbl",
+            F.lit(None).cast(labels.schema["lbl"].dataType).alias("old"),
+        )
+        base = labels.select("id", "lbl", F.col("lbl").alias("old"))
         new = (
-            labels.unionByName(msgs)
+            base.unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
             .localCheckpoint()
         )
         shrank = (
-            new.join(
-                labels.select("id", F.col("lbl").alias("old")), "id"
-            )
-            .filter(F.col("lbl") < F.col("old"))
-            .limit(1)
-            .count()
+            new.filter(F.col("lbl") < F.col("old")).limit(1).count()
         )
-        labels = new
+        labels = new.select("id", "lbl")
         if shrank == 0:
             converged = True
             break
