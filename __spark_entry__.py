@@ -1391,6 +1391,28 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(sh, num_hashes=4).orderBy("id")
 
 
+def _minhash_oracle_mins(num_hashes: int) -> list[str]:
+    """DuckDB replay of operators.dedup.minhash_signatures: same
+    (a_j, b_j) literals (imported from the operator module, so the two
+    engines cannot drift) over the identical 60-bit md5-prefix base."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    h = (
+        "(CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) "
+        f"% {MINHASH_P})"
+    )
+    out = []
+    for j in range(num_hashes):
+        a, b = minhash_coeffs(j)
+        out.append(
+            f"min(({a} * {h} + {b}) % {MINHASH_P}) AS mh_{j}"
+        )
+    return out
+
+
 _SQL_MINHASH = """
 WITH toks AS (
   SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
@@ -1399,12 +1421,9 @@ sh AS (
     array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
   FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i))
 SELECT id,
-  min(md5('0|' || shingle)) AS mh_0,
-  min(md5('1|' || shingle)) AS mh_1,
-  min(md5('2|' || shingle)) AS mh_2,
-  min(md5('3|' || shingle)) AS mh_3
+  {mins}
 FROM sh GROUP BY id ORDER BY id
-"""
+""".format(mins=",\n  ".join(_minhash_oracle_mins(4)))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1885,9 +1904,7 @@ JOIN sizes sb ON sb.id = id_b
 WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5
 ORDER BY id_a, id_b
 """.format(
-    mins=",\n    ".join(
-        f"min(md5('{j}|' || shingle)) AS mh_{j}" for j in range(8)
-    ),
+    mins=",\n    ".join(_minhash_oracle_mins(8)),
     bands="\n  UNION ALL ".join(
         "SELECT id, {b} AS band_idx, "
         "md5(concat_ws('|', mh_{r0}, mh_{r1})) AS band_hash FROM sig".format(
@@ -2120,9 +2137,7 @@ SELECT doc_id, cluster_id,
   (doc_id = cluster_id) AS is_canonical
 FROM comp ORDER BY doc_id
 """.format(
-    mins=",\n    ".join(
-        f"min(md5('{j}|' || shingle)) AS mh_{j}" for j in range(8)
-    ),
+    mins=",\n    ".join(_minhash_oracle_mins(8)),
     bands="\n  UNION ALL ".join(
         "SELECT id, {b} AS band_idx, "
         "md5(concat_ws('|', mh_{r0}, mh_{r1})) AS band_hash FROM sig".format(
@@ -2598,9 +2613,7 @@ LEFT JOIN contam ct ON ct.doc_id = cl.doc_id
 JOIN qual q ON q.id = cl.doc_id
 ORDER BY cl.doc_id
 """.format(
-    mins=",\n    ".join(
-        f"min(md5('{j}|' || shingle)) AS mh_{j}" for j in range(8)
-    ),
+    mins=",\n    ".join(_minhash_oracle_mins(8)),
     bands="\n  UNION ALL ".join(
         "SELECT id, {b} AS band_idx, "
         "md5(concat_ws('|', mh_{r0}, mh_{r1})) AS band_hash FROM sig".format(

@@ -92,20 +92,60 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     return tokenized.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
+# MinHash linear-family modulus: h_j(x) = (a_j * x + b_j) mod P over the
+# 60-bit md5 prefix reduced mod P. P prime (~2^30) keeps a_j * x < 2^60 —
+# safe under ANSI overflow checking — while leaving the per-doc min-rank
+# collision probability negligible for shingle-set sizes.
+MINHASH_P = 1_000_000_007
+
+
+def minhash_coeffs(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for the j-th MinHash family member, derived
+    from md5 so Spark engine and DuckDB oracle embed identical literals.
+    a_j is nonzero (a universal-family requirement)."""
+    import hashlib
+
+    a = 1 + int(
+        hashlib.md5(f"a|{j}".encode()).hexdigest()[:15], 16
+    ) % (MINHASH_P - 1)
+    b = int(hashlib.md5(f"b|{j}".encode()).hexdigest()[:15], 16) % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """Lexicographic-min md5 MinHash: signature_j = min(md5(j || '|' || s)).
+    """Integer MinHash: signature_j = min((a_j * h + b_j) mod P) with h =
+    the 60-bit md5 prefix of the shingle reduced mod P.
 
-    md5('j|'||shingle) is a perfectly good hash family for min-hashing and is
-    byte-identical across engines (unlike xxhash64/farm_fingerprint — see
-    SURVEY.md §7 divergences). Output: (id, mh_0..mh_{n-1}).
+    ONE engine-portable md5 per shingle (xxhash64/farm_fingerprint differ
+    across engines — SURVEY.md §7) supplies the base integer; the family
+    members are independent random linear functions over Z_P (pairwise
+    independence is what LSH's s^r band amplification needs — a
+    consecutive-multiplier double-hash family was measured to correlate
+    band rows and blow candidate pairs up 51x). Versus min(md5(j ||
+    shingle)) per j this removes (k-1) md5 evaluations and ALL per-hash
+    hex-string allocation from the hottest aggregate in the dedup
+    pipeline: the agg buffers and the shuffle carry 8-byte longs, not
+    32-byte hex strings. Output: (id, mh_0..mh_{n-1}) as longs.
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    hx = F.md5(F.col("shingle"))
+    proj = sh.select(
+        "id",
+        (
+            F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+            % F.lit(MINHASH_P)
+        ).alias("__h"),
+    )
+    aggs = []
+    for j in range(num_hashes):
+        a, b = minhash_coeffs(j)
+        aggs.append(
+            F.min(
+                (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"mh_{j}")
+        )
+    return proj.groupBy("id").agg(*aggs)
 
 
 def lsh_candidates(
@@ -395,46 +435,63 @@ def connected_components(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # round-0 fold: start from min(own id, min neighbor id) — one aggregate
-    # over the (already symmetric) edge list replaces a whole propagation
-    # round, so near-clique dup groups usually converge in 1-2 loop rounds.
-    # least(id, min(dst)) folds the own-id term in closed form instead of
-    # unioning a distinct'd self-edge frame (one O(E) shuffle saved).
-    labels = (
-        edges.groupBy(F.col("src").alias("id"))
-        .agg(F.min("dst").alias("__m"))
-        .select("id", F.least(F.col("id"), F.col("__m")).alias("lbl"))
-        .localCheckpoint()
-    )
-    converged = False
-    for _ in range(max_iter):
-        # ONE shuffle chain per round: the old label rides the same
-        # aggregate as the neighbor messages (min(old) is exact — each id
-        # has exactly one base row), so convergence is a joinless filter
-        # over the checkpointed result instead of a second O(V) shuffle
-        # join per round. By edge symmetry every msg id already has a base
-        # row, so old is never NULL.
-        msgs = edges.join(
-            labels.select(F.col("id").alias("src"), "lbl"), "src"
-        ).select(
-            F.col("dst").alias("id"),
-            "lbl",
-            F.lit(None).cast(labels.schema["lbl"].dataType).alias("old"),
-        )
-        base = labels.select("id", "lbl", F.col("lbl").alias("old"))
-        new = (
-            base.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
+    # Size the LOOP's shuffle partitioning to the edge list, not the
+    # session default: the dup graph is a tiny fraction of the corpus
+    # (most docs are singletons), so iterating with the corpus-sized
+    # partition count schedules dozens of near-empty tasks per round —
+    # per-round fixed cost is exactly the serial fraction that caps this
+    # iterative job's N->4N scaling. ~100k edge rows per partition keeps
+    # tasks long enough to amortize dispatch; the session value is
+    # restored before returning (the output plan is compiled after).
+    spark = pairs.sparkSession
+    n_edges = edges.count()  # cached — also materializes the persist
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(sess_parts), n_edges // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        # round-0 fold: start from min(own id, min neighbor id) — one
+        # aggregate over the (already symmetric) edge list replaces a whole
+        # propagation round, so near-clique dup groups usually converge in
+        # 1-2 loop rounds. least(id, min(dst)) folds the own-id term in
+        # closed form instead of unioning a distinct'd self-edge frame (one
+        # O(E) shuffle saved).
+        labels = (
+            edges.groupBy(F.col("src").alias("id"))
+            .agg(F.min("dst").alias("__m"))
+            .select("id", F.least(F.col("id"), F.col("__m")).alias("lbl"))
             .localCheckpoint()
         )
-        shrank = (
-            new.filter(F.col("lbl") < F.col("old")).limit(1).count()
-        )
-        labels = new.select("id", "lbl")
-        if shrank == 0:
-            converged = True
-            break
+        converged = False
+        for _ in range(max_iter):
+            # ONE shuffle chain per round: the old label rides the same
+            # aggregate as the neighbor messages (min(old) is exact — each
+            # id has exactly one base row), so convergence is a joinless
+            # filter over the checkpointed result instead of a second O(V)
+            # shuffle join per round. By edge symmetry every msg id already
+            # has a base row, so old is never NULL.
+            msgs = edges.join(
+                labels.select(F.col("id").alias("src"), "lbl"), "src"
+            ).select(
+                F.col("dst").alias("id"),
+                "lbl",
+                F.lit(None).cast(labels.schema["lbl"].dataType).alias("old"),
+            )
+            base = labels.select("id", "lbl", F.col("lbl").alias("old"))
+            new = (
+                base.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
+                .localCheckpoint()
+            )
+            shrank = (
+                new.filter(F.col("lbl") < F.col("old")).limit(1).count()
+            )
+            labels = new.select("id", "lbl")
+            if shrank == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
     edges.unpersist()
     if not converged:
         raise RuntimeError(
@@ -519,6 +576,14 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     fp = _fingerprint(edges)
+    # loop shuffle partitioning sized to the edge list (same rationale and
+    # restore discipline as connected_components): iterative rounds over a
+    # dup graph orders of magnitude smaller than the corpus must not
+    # schedule corpus-sized near-empty task waves.
+    spark = pairs.sparkSession
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(sess_parts), fp[0] // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     converged = False
     for _ in range(max_iter):
         # ---- large-star: strictly-larger neighbors hook onto min(N(u)∪{u})
@@ -563,6 +628,7 @@ def connected_components_star(
             converged = True
             break
         fp = new_fp
+    spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "
