@@ -55,6 +55,48 @@ def test_exact_dedup(spark, transcripts):
     assert drops.filter(F.col("keep_rank") == 1).count() == 0
 
 
+def test_minhash_family_closed_form(spark):
+    """signature_j over a single-shingle doc = (a_j*h + b_j) mod P with h
+    the 60-bit md5 prefix mod P — the exact literals the DuckDB oracle
+    embeds (operators/dedup.py minhash_coeffs). Guards both the family
+    definition and the engine/oracle coefficient coupling."""
+    import hashlib
+
+    from professional_services_data_validator_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=7, text="alpha beta gamma")])
+    sh = shingles(df, "doc_id", "text", k=3)  # exactly one shingle
+    row = minhash_signatures(sh, num_hashes=4).collect()[0]
+    h = (
+        int(hashlib.md5(b"alpha beta gamma").hexdigest()[:15], 16)
+        % MINHASH_P
+    )
+    for j in range(4):
+        a, b = minhash_coeffs(j)
+        assert row[f"mh_{j}"] == (a * h + b) % MINHASH_P
+    # distinct multipliers — the 51x candidate blowup of a correlated
+    # (consecutive-multiplier) family came from exactly this degeneracy
+    assert len({minhash_coeffs(j)[0] for j in range(16)}) == 16
+
+
+def test_cc_restores_session_shuffle_partitions(spark, sf_dir):
+    """Both resolvers bracket their edge-sized loop partitioning and must
+    restore the session value even on the non-error path."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    dedup_clusters(docs, "doc_id", "text").count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    dedup_clusters(docs, "doc_id", "text", components="star").count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_shingles_and_signatures(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="a b c d e"),
