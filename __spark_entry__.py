@@ -1413,6 +1413,20 @@ def _minhash_oracle_mins(num_hashes: int) -> list[str]:
     return out
 
 
+def _oracle_band_union(num_hashes: int, bands: int) -> str:
+    """DuckDB replay of operators.dedup.lsh_candidates' banding: one
+    SELECT per band, band_hash = md5 of the band's r = num_hashes//bands
+    signature rows pipe-joined — byte-identical to the Spark side."""
+    r = num_hashes // bands
+    return "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) "
+        "AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh_{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+
+
 _SQL_MINHASH = """
 WITH toks AS (
   SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
@@ -1867,7 +1881,7 @@ def q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_dedup_pairs(
         spark.table("documents"), "doc_id", "text",
-        k=2, num_hashes=8, bands=4, threshold=0.5,
+        k=3, num_hashes=16, bands=4, threshold=0.5,
     ).orderBy("id_a", "id_b")
 
 
@@ -1876,8 +1890,8 @@ WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
               FROM documents),
 sh AS (
   SELECT DISTINCT id,
-    array_to_string(list_slice(t, i + 1, i + 2), ' ') AS shingle
-  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
 sig AS (
   SELECT id,
     {mins}
@@ -1904,14 +1918,8 @@ JOIN sizes sb ON sb.id = id_b
 WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5
 ORDER BY id_a, id_b
 """.format(
-    mins=",\n    ".join(_minhash_oracle_mins(8)),
-    bands="\n  UNION ALL ".join(
-        "SELECT id, {b} AS band_idx, "
-        "md5(concat_ws('|', mh_{r0}, mh_{r1})) AS band_hash FROM sig".format(
-            b=b, r0=b * 2, r1=b * 2 + 1
-        )
-        for b in range(4)
-    ),
+    mins=",\n    ".join(_minhash_oracle_mins(16)),
+    bands=_oracle_band_union(16, 4),
 )
 
 
@@ -2066,7 +2074,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup_clusters(
         spark.table("documents"), "doc_id", "text",
-        k=2, num_hashes=8, bands=4, threshold=0.5,
+        k=3, num_hashes=16, bands=4, threshold=0.5,
     ).orderBy("doc_id")
 
 
@@ -2084,7 +2092,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup_clusters(
         spark.table("documents"), "doc_id", "text",
-        k=2, num_hashes=8, bands=4, threshold=0.5, components="star",
+        k=3, num_hashes=16, bands=4, threshold=0.5, components="star",
     ).orderBy("doc_id")
 
 
@@ -2097,8 +2105,8 @@ WITH RECURSIVE toks AS (
   FROM documents),
 sh AS (
   SELECT DISTINCT id,
-    array_to_string(list_slice(t, i + 1, i + 2), ' ') AS shingle
-  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
 sig AS (
   SELECT id,
     {mins}
@@ -2137,14 +2145,8 @@ SELECT doc_id, cluster_id,
   (doc_id = cluster_id) AS is_canonical
 FROM comp ORDER BY doc_id
 """.format(
-    mins=",\n    ".join(_minhash_oracle_mins(8)),
-    bands="\n  UNION ALL ".join(
-        "SELECT id, {b} AS band_idx, "
-        "md5(concat_ws('|', mh_{r0}, mh_{r1})) AS band_hash FROM sig".format(
-            b=b, r0=b * 2, r1=b * 2 + 1
-        )
-        for b in range(4)
-    ),
+    mins=",\n    ".join(_minhash_oracle_mins(16)),
+    bands=_oracle_band_union(16, 4),
 )
 
 
@@ -2452,7 +2454,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "text"
     )
     clusters = dedup_clusters(
-        corpus, "doc_id", "text", k=2, num_hashes=8, bands=4, threshold=0.5
+        corpus, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.5
     )
     contam = (
         decontaminate(
@@ -2505,7 +2507,7 @@ _TRAINING_QUERIES.update(
         "media_metadata": q_media_metadata,
     }
 )
-# Replays the whole curation pipeline: LSH dedup (k=2 shingles, 8 hashes,
+# Replays the whole curation pipeline: LSH dedup (k=3 shingles, 16 hashes,
 # 4 bands, j>=0.5) -> recursive-CTE component resolution -> contamination
 # (k=3, >=2 shared shingles vs the bench split) -> quality features -> the
 # final keep verdict. Same params as q_corpus_curation.
@@ -2518,8 +2520,8 @@ toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), ' +') AS t
          FROM corpus),
 sh AS (
   SELECT DISTINCT id,
-    array_to_string(list_slice(t, i + 1, i + 2), ' ') AS shingle
-  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
 sig AS (
   SELECT id,
     {mins}
@@ -2613,14 +2615,8 @@ LEFT JOIN contam ct ON ct.doc_id = cl.doc_id
 JOIN qual q ON q.id = cl.doc_id
 ORDER BY cl.doc_id
 """.format(
-    mins=",\n    ".join(_minhash_oracle_mins(8)),
-    bands="\n  UNION ALL ".join(
-        "SELECT id, {b} AS band_idx, "
-        "md5(concat_ws('|', mh_{r0}, mh_{r1})) AS band_hash FROM sig".format(
-            b=b, r0=b * 2, r1=b * 2 + 1
-        )
-        for b in range(4)
-    ),
+    mins=",\n    ".join(_minhash_oracle_mins(16)),
+    bands=_oracle_band_union(16, 4),
     stop_hits="CAST(len(list_filter(qtoks, t -> t IN ({lits}))) AS DOUBLE)"
     .format(lits=", ".join(f"'{w}'" for w in _STOPS)),
 )
@@ -5589,7 +5585,7 @@ def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_split_leakage(
         spark.table("documents"), "doc_id", "text", ["doc_id"],
         {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42,
-        k=2, num_hashes=8, bands=4, threshold=0.5,
+        k=3, num_hashes=16, bands=4, threshold=0.5,
     )
 
 

@@ -72,10 +72,25 @@ def _tokens(text_col: Column) -> Column:
     return F.split(F.trim(text_col), " +")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Word k-gram shingles: one row per (id, shingle), distinct.
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word k-gram shingles: one row per (id, shingle).
 
     Built-ins only: split -> sequence -> transform(slice+join) -> explode.
+
+    ``distinct=False`` returns the RAW map-only stream (duplicates kept,
+    zero shuffle). MinHash's min-aggregate is duplicate-insensitive, so
+    the LSH pipeline consumes the raw stream and the corpus-wide
+    ``.distinct()`` exchange — measured 88 s of a 278 s dedup_clusters
+    pass at 1M docs — never happens; set semantics are restored by
+    :func:`jaccard_verify` on the candidate-incident slice only.
+    Consumers that need exact per-doc shingle SETS corpus-wide (simhash
+    weighting, exact n-gram Jaccard baselines) keep the default.
     """
     # materialize the token array in a child projection: inlining the
     # split(...) into the transform lambda would re-evaluate it for EVERY
@@ -89,7 +104,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
     )
-    return tokenized.select("id", F.explode(sh).alias("shingle")).distinct()
+    out = tokenized.select("id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # MinHash linear-family modulus: h_j(x) = (a_j * x + b_j) mod P over the
@@ -194,13 +210,35 @@ def jaccard_verify(
     |A ∩ B| via join of shingle sets restricted to candidate ids;
     |A ∪ B| = |A| + |B| - |A ∩ B|. Output: (id_a, id_b, jaccard) filtered
     to >= threshold, jaccard rounded to 6dp for cross-engine stability.
+
+    Scale design (measured at 1M docs: this stage was 151 s of a 278 s
+    dedup_clusters pass when the joins shuffled the CORPUS shingle frame):
+    verification only needs the shingle sets of candidate-INCIDENT docs —
+    a small fraction of the corpus by LSH construction. The candidate
+    list (tip of the signature+band-join subtree, two consumers) is
+    localCheckpointed once; its incident-id set semi-joins the shingle
+    stream down to the candidate slice BEFORE any wide exchange (AQE sees
+    the checkpointed id-set size at runtime and broadcasts the semi
+    build); the set-semantics ``.distinct()`` runs on that slice, never
+    corpus-wide — which is what lets callers feed the raw
+    ``shingles(distinct=False)`` stream. The slice is localCheckpointed
+    too, so the size aggregate and both intersection sides read it without
+    re-running the semi scan; all checkpoint blocks are ContextCleaner-
+    managed (no CacheManager entry to leak across executions).
     """
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # count common shingles per candidate pair
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
+    cand = candidates.localCheckpoint()
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shc = sh.join(ids, "id", "left_semi").distinct().localCheckpoint()
+    sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # count common shingles per candidate pair (slice-sized exchanges)
+    sh_a = shc.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = shc.select(F.col("id").alias("id_b"), F.col("shingle"))
     common = (
-        candidates.join(sh_a, "id_a")
+        cand.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -233,19 +271,17 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
 
-    The shingle set feeds four subtrees (minhash agg, pair-size agg, and
-    both sides of the intersection join), so it is persisted
-    MEMORY_AND_DISK — the classic LSH "materialize the shingle/signature
-    matrix once" design (MMDS ch.3). Without it every consumer re-runs the
-    tokenize+explode+distinct scan (measured 2.2x e2e at sf0.1, see
-    scripts/profile_training.py). At 100 TB the persist spills to local
-    disk, which is still one corpus scan instead of four.
+    Scale posture: the shingle stream is consumed RAW (``distinct=False``
+    — MinHash min-aggregation is duplicate-insensitive), so the pipeline's
+    only corpus-scale work is map-side explode scans; the one historical
+    corpus-wide exchange (shingle ``.distinct()``, formerly persisted
+    MEMORY_AND_DISK to amortize its three consumers) is gone entirely.
+    Set semantics for exact-Jaccard verification are restored by
+    :func:`jaccard_verify` on the candidate-incident slice, which it
+    localCheckpoints for its three consumers — slice-sized state instead
+    of a corpus-sized cache, and no CacheManager entry to release.
     """
-    from pyspark import StorageLevel
-
-    sh = shingles(df, id_col, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = shingles(df, id_col, text_col, k, distinct=False)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidates(sig, num_hashes, bands)
     return jaccard_verify(cand, sh, threshold)
@@ -426,13 +462,27 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    # Symmetrize MAP-SIDE with one explode(array(struct, struct)) instead of
+    # a unionByName of two selects: union branches are separate scans of the
+    # pairs plan, and `pairs` is the UNPERSISTED tip of the whole
+    # LSH-candidates + jaccard-verify subtree — materializing the union
+    # executed that subtree TWICE (measured at 1M docs/local[16]: the
+    # resolver's edge job cost ~2x the pairs job it feeds on; the explode
+    # form executes it once and emits both orientations in the same task).
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Size the LOOP's shuffle partitioning to the edge list, not the
@@ -683,19 +733,14 @@ def dedup_clusters(
     — including the iterative component resolution — has an exact DuckDB
     oracle (recursive CTE).
     """
-    from pyspark import StorageLevel
-
-    # staged inline (not via minhash_dedup_pairs) so the shingle persist can
-    # be RELEASED as soon as the resolver has materialized the edge list:
-    # both resolvers are eager (edges localCheckpoint / persist + round-0
-    # label fold run during the call), after which the output plan reads
-    # only checkpointed labels + the node frame. Without the unpersist every
-    # execution of this pipeline leaked a corpus-sized cached shingle frame
-    # (measured: a warmup + timed try at 250k docs ran 212 s vs 95 s clean —
-    # the second execution paid eviction + GC for the first one's cache).
-    sh = shingles(df, id_col, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # The LSH front-end consumes the RAW shingle stream (no corpus-wide
+    # distinct, no corpus-sized persist to release — the round-4 cache-leak
+    # fix is now structural): jaccard_verify localCheckpoints the candidate
+    # pair list and the candidate-incident shingle slice, the resolvers
+    # localCheckpoint edges/labels, so after the eager resolver call the
+    # output plan reads only slice-sized checkpointed state plus the node
+    # frame, all ContextCleaner-managed.
+    sh = shingles(df, id_col, text_col, k, distinct=False)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidates(sig, num_hashes, bands)
     pairs = jaccard_verify(cand, sh, threshold)
@@ -705,7 +750,6 @@ def dedup_clusters(
         else connected_components
     )
     comp = resolver(pairs, df.select(id_col), id_col=id_col)
-    sh.unpersist()
     return cluster_assignments(comp, id_col)
 
 
