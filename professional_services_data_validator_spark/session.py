@@ -53,6 +53,19 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # Wide exchanges START at 256 partitions and AQE coalesces the
+        # small ones back down (coalescePartitions is already on): with
+        # only cores-many initial partitions, a corpus-scale hash
+        # aggregate (e.g. 265M shingle rows -> per-doc MinHash mins)
+        # divides executor memory across cores-many concurrent 8M-row
+        # hash maps and spills — measured as the 16-core leg LOSING
+        # per-core throughput vs the 4-core leg at 5M docs. 256-wide
+        # start bounds per-task state; AQE's 64MB advisory target keeps
+        # small queries at their old partition counts.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", "256"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # parquet scans: split files so local[N] gets N-way scan parallelism
         # even for single-file tables (driver testdata is one file per table).
