@@ -203,7 +203,10 @@ def lsh_candidates(
 
 
 def jaccard_verify(
-    candidates: DataFrame, sh: DataFrame, threshold: float = 0.5
+    candidates: DataFrame,
+    sh: DataFrame,
+    threshold: float = 0.5,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (the LSH contract).
 
@@ -225,14 +228,30 @@ def jaccard_verify(
     too, so the size aggregate and both intersection sides read it without
     re-running the semi scan; all checkpoint blocks are ContextCleaner-
     managed (no CacheManager entry to leak across executions).
+
+    Fault tolerance: ``localCheckpoint`` stores blocks on executor-local
+    storage with lineage TRUNCATED — on a multi-executor cluster an
+    executor loss makes those blocks unrecoverable and fails the job
+    (acceptable here: a dedup pass is idempotent and re-runnable, and the
+    checkpointed state is slice-sized). For long cluster runs where a
+    retry is expensive, set a checkpoint dir
+    (``spark.sparkContext.setCheckpointDir``) and pass
+    ``reliable_checkpoint=True`` to trade eager HDFS/object-store writes
+    for executor-loss recoverability — the same guidance as
+    :func:`connected_components`.
     """
-    cand = candidates.localCheckpoint()
+    _ckpt = (
+        (lambda d: d.checkpoint())
+        if reliable_checkpoint
+        else (lambda d: d.localCheckpoint())
+    )
+    cand = _ckpt(candidates)
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shc = sh.join(ids, "id", "left_semi").distinct().localCheckpoint()
+    shc = _ckpt(sh.join(ids, "id", "left_semi").distinct())
     sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # count common shingles per candidate pair (slice-sized exchanges)
     sh_a = shc.select(F.col("id").alias("id_a"), "shingle")
@@ -268,8 +287,14 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
+
+    ``reliable_checkpoint=True`` routes the verify stage's eager
+    checkpoints to the configured reliable checkpoint dir (executor-loss
+    recoverable) instead of executor-local storage — see
+    :func:`jaccard_verify`.
 
     Scale posture: the shingle stream is consumed RAW (``distinct=False``
     — MinHash min-aggregation is duplicate-insensitive), so the pipeline's
@@ -284,7 +309,9 @@ def minhash_dedup_pairs(
     sh = shingles(df, id_col, text_col, k, distinct=False)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidates(sig, num_hashes, bands)
-    return jaccard_verify(cand, sh, threshold)
+    return jaccard_verify(
+        cand, sh, threshold, reliable_checkpoint=reliable_checkpoint
+    )
 
 
 def ngram_jaccard_pairs(
@@ -301,8 +328,6 @@ def ngram_jaccard_pairs(
     LSH this is quadratic per block — the baseline against which
     minhash_dedup_pairs is the scale path. Output (id_a, id_b, jaccard).
     """
-    from pyspark import StorageLevel
-
     sh = shingles(df, id_col, text_col, k)
     if block_col is not None:
         blocks = df.select(F.col(id_col).alias("id"), block_col.alias("blk"))
@@ -311,9 +336,13 @@ def ngram_jaccard_pairs(
     else:
         sh = sh.withColumn("blk", F.lit(0))
         join_keys = ["shingle", "blk"]
-    # sh feeds the size agg and both self-join sides — one scan, not three
-    # (same persist rationale as minhash_dedup_pairs)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # sh feeds the size agg and both self-join sides — localCheckpoint runs
+    # the tokenize+shingle scan ONCE and hands ContextCleaner-managed
+    # blocks to all three consumers. (A CacheManager persist here had no
+    # release point — the function returns lazily — and leaked
+    # MEMORY_AND_DISK cache across executions in a long-lived session;
+    # checkpoint blocks are reclaimed when the returned plan is GC'd.)
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), *join_keys)
     b = sh.select(F.col("id").alias("id_b"), *join_keys)
@@ -393,18 +422,17 @@ def simhash_near_pairs(
         )
         for c in range(chunks)
     ]
-    # blocked is both sides of the self-join; persist so the signature
-    # computation (a full corpus tokenize+agg upstream) runs once, not
-    # twice (measured 2.3x e2e at sf0.1 — ReusedExchange does not fire
-    # here because the a.id < b.id predicate lands in different join
-    # positions). Tiny frame: (id, int, chunk) x (d+1) rows per doc.
-    from pyspark import StorageLevel
-
+    # blocked is both sides of the self-join; localCheckpoint so the
+    # signature computation (a full corpus tokenize+agg upstream) runs
+    # once, not twice (measured 2.3x e2e at sf0.1 — ReusedExchange does
+    # not fire here because the a.id < b.id predicate lands in different
+    # join positions). Tiny frame: (id, int, chunk) x (d+1) rows per doc.
+    # Checkpoint, not persist: the function returns lazily so a
+    # CacheManager persist would have no release point and leak cache
+    # across executions; checkpoint blocks are ContextCleaner-managed.
     blocked = sim.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val").localCheckpoint()
     a = blocked.alias("a")
     b = blocked.alias("b")
     return (
@@ -498,6 +526,14 @@ def connected_components(
     sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(sess_parts), n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # AQE's coalescePartitions.initialPartitionNum (set session-wide to
+    # 256 for corpus-scale aggregates) OVERRIDES shuffle.partitions as the
+    # starting width of every AQE shuffle — without pinning it too, the
+    # loop's edge-sized partitioning above never takes effect and each
+    # round schedules 256-wide near-empty task waves.
+    _IPN = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    sess_ipn = spark.conf.get(_IPN, None)
+    spark.conf.set(_IPN, str(loop_parts))
     try:
         # round-0 fold: start from min(own id, min neighbor id) — one
         # aggregate over the (already symmetric) edge list replaces a whole
@@ -542,7 +578,11 @@ def connected_components(
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
-    edges.unpersist()
+        if sess_ipn is None:
+            spark.conf.unset(_IPN)
+        else:
+            spark.conf.set(_IPN, sess_ipn)
+        edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
@@ -598,8 +638,6 @@ def connected_components_star(
     — identical contract to :func:`connected_components`, so the two are
     drop-in interchangeable (property-tested equivalent on random graphs).
     """
-    from pyspark import StorageLevel
-
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -634,51 +672,64 @@ def connected_components_star(
     sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(sess_parts), fp[0] // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # pin AQE's initial shuffle width to the loop size too — the session
+    # initialPartitionNum=256 would otherwise override shuffle.partitions
+    # for every AQE shuffle in the loop (same rationale as
+    # connected_components).
+    _IPN = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    sess_ipn = spark.conf.get(_IPN, None)
+    spark.conf.set(_IPN, str(loop_parts))
     converged = False
-    for _ in range(max_iter):
-        # ---- large-star: strictly-larger neighbors hook onto min(N(u)∪{u})
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        large = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # ---- small-star: orient (hi, lo); hi and its smaller neighbors
-        # all hook onto the minimum of the neighborhood
-        hi_lo = large.select(
-            F.greatest(F.col("u"), F.col("v")).alias("u"),
-            F.least(F.col("u"), F.col("v")).alias("v"),
-        )
-        mins2 = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            hi_lo.join(mins2, "u")
-            .select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
-                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
-                    )
-                ).alias("e")
+    try:
+        for _ in range(max_iter):
+            # ---- large-star: strictly-larger neighbors hook onto min(N(u)∪{u})
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
-        )
-        new_fp = _fingerprint(small)
-        edges = small
-        if new_fp == fp:
-            converged = True
-            break
-        fp = new_fp
-    spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+            mins = sym.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # ---- small-star: orient (hi, lo); hi and its smaller neighbors
+            # all hook onto the minimum of the neighborhood
+            hi_lo = large.select(
+                F.greatest(F.col("u"), F.col("v")).alias("u"),
+                F.least(F.col("u"), F.col("v")).alias("v"),
+            )
+            mins2 = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                hi_lo.join(mins2, "u")
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                            F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        )
+                    ).alias("e")
+                )
+                .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            new_fp = _fingerprint(small)
+            edges = small
+            if new_fp == fp:
+                converged = True
+                break
+            fp = new_fp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+        if sess_ipn is None:
+            spark.conf.unset(_IPN)
+        else:
+            spark.conf.set(_IPN, sess_ipn)
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "
@@ -688,11 +739,15 @@ def connected_components_star(
     # every non-root node appears exactly once as u with v = component min
     # at the converged star state each child carries exactly one (child,
     # root) edge; the min-aggregate is a no-op then, and a cheap guard (the
-    # frame is O(non-singleton nodes)) against a fingerprint false-positive
+    # frame is O(non-singleton nodes)) against a fingerprint false-positive.
+    # localCheckpoint, not persist: labels is consumed lazily by the
+    # returned plan, so a CacheManager persist would have no release point
+    # and leak across executions; checkpoint blocks are ContextCleaner-
+    # managed and the frame is O(non-singleton nodes) anyway.
     labels = (
         edges.groupBy(F.col("u").alias("id"))
         .agg(F.min("v").alias("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     out = (
         nodes.select(F.col(id_col).alias("id"))

@@ -347,8 +347,8 @@ def cross_split_leakage(
     keys: list[str],
     weights: dict[str, float],
     seed: int = 42,
-    k: int = 2,
-    num_hashes: int = 8,
+    k: int = 3,
+    num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:

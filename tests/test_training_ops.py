@@ -1329,3 +1329,74 @@ def test_star_components_empty_pairs(spark):
         for r in connected_components_star(pairs, nodes).collect()
     }
     assert got == {3: 3, 8: 8}
+
+
+def test_star_restores_conf_on_midloop_failure(spark, monkeypatch):
+    """VERDICT r4 #3: a Spark failure INSIDE a star round must not leave
+    the session at the edge-sized shuffle-partition count (or the pinned
+    AQE initialPartitionNum) — the try/finally the propagation resolver
+    already had. Failure is injected by making the loop's localCheckpoint
+    raise; the pre-loop edges checkpoint (call #1) is left intact so the
+    error lands mid-loop, after the conf was mutated."""
+    # patch the CONCRETE class: in Spark 4 pyspark.sql.DataFrame is the
+    # abstract base and classic.DataFrame overrides localCheckpoint
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older pyspark
+        from pyspark.sql import DataFrame
+
+    from professional_services_data_validator_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_ipn = spark.conf.get(ipn_key, None)
+
+    import pytest
+
+    calls = {"n": 0}
+    orig = DataFrame.localCheckpoint
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # first call = pre-loop edges checkpoint
+            raise RuntimeError("injected mid-loop executor failure")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", flaky)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], ["id"])
+    with pytest.raises(RuntimeError, match="injected"):
+        connected_components_star(pairs, nodes).collect()
+    assert calls["n"] >= 2, "failure was not injected inside the loop"
+    monkeypatch.undo()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+    assert spark.conf.get(ipn_key, None) == before_ipn
+
+
+def test_dedup_ops_leave_no_cachemanager_entries(spark, sf_dir):
+    """VERDICT r4 #4: ngram_jaccard_pairs, simhash_near_pairs and the star
+    resolver previously persisted frames with no release point — repeated
+    executions in a long-lived session accumulated MEMORY_AND_DISK cache.
+    All three now use ContextCleaner-managed localCheckpoint; after each
+    operator's action completes the SQL CacheManager must be empty."""
+    from professional_services_data_validator_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).limit(200)
+    spark.catalog.clearCache()
+
+    ngram_jaccard_pairs(docs, "doc_id", "text").count()
+    sim = simhash(docs, "doc_id", "text")
+    simhash_near_pairs(sim).count()
+    dedup_clusters(docs, "doc_id", "text", components="star").count()
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "an operator left a CacheManager entry behind"
