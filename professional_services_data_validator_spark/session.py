@@ -53,19 +53,6 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
-        # Wide exchanges START at 256 partitions and AQE coalesces the
-        # small ones back down (coalescePartitions is already on): with
-        # only cores-many initial partitions, a corpus-scale hash
-        # aggregate (e.g. 265M shingle rows -> per-doc MinHash mins)
-        # divides executor memory across cores-many concurrent 8M-row
-        # hash maps and spills — measured as the 16-core leg LOSING
-        # per-core throughput vs the 4-core leg at 5M docs. 256-wide
-        # start bounds per-task state; AQE's 64MB advisory target keeps
-        # small queries at their old partition counts.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", "256"),
-        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # parquet scans: split files so local[N] gets N-way scan parallelism
         # even for single-file tables (driver testdata is one file per table).
@@ -94,6 +81,34 @@ def get_spark(
     # spark.local.dir points at executor-local NVMe instead.
     if os.path.isdir("/dev/shm"):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
+    # AQE initial shuffle width, GATED ON WORKLOAD SCALE (round-5 A/B).
+    # Corpus-scale aggregates want wide-start exchanges: at 5M docs the
+    # MinHash aggregate (~265M shingle rows) at cores-many initial
+    # partitions divides executor memory across cores-many concurrent
+    # 8M-row hash maps and spills — measured as the 16-core leg LOSING
+    # per-core throughput vs the 4-core leg; 256-wide start bounds
+    # per-task state and AQE coalesces small shuffles back down. But the
+    # wide start is NOT free for sub-second interactive queries: at sf0.1
+    # a 3-row-result chained aggregate (mutual_info_lang_source) pays 2.1x
+    # in 256-task stage waves (interleaved A/B, 12 tries/cell, 0% steal).
+    # Small queries never hit the spill the wide start exists to prevent,
+    # so the default follows shuffle.partitions; corpus-scale runs opt in
+    # via SPARK_GRAFT_INITIAL_PARTS (the in-Spark corpus replication
+    # harness implies it), and cluster deploys set it in spark-submit conf
+    # sized to executor count.
+    # replication >= 100x (40M-turn / multi-M-doc protocol runs) is the
+    # corpus-scale regime where the spill was measured; the x10 bench
+    # replication stays in the interactive regime.
+    ipn = os.environ.get("SPARK_GRAFT_INITIAL_PARTS")
+    if ipn is None and (
+        int(os.environ.get("SPARK_GRAFT_REPLICATE_DOCS", "1")) >= 100
+        or int(os.environ.get("SPARK_GRAFT_REPLICATE", "1")) >= 100
+    ):
+        ipn = "256"
+    if ipn:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", ipn
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
