@@ -123,15 +123,53 @@ NOTES = {
         "cumsum. At 100 TB: shards scale with the cluster; the window state "
         "is one running sum per shard."
     ),
+    "lsh_dedup_pairs": (
+        "Round-4 redesigned LSH front-end, the plan shapes the 1M-doc "
+        "237->40.5 s A/B pinned: (1) MinHash consumes the RAW shingle "
+        "stream — no corpus-wide distinct exchange (min-aggregation is "
+        "duplicate-insensitive), the only O(corpus-tokens) stages are "
+        "map-side explode scans feeding a partial-agg'd groupBy(id); "
+        "(2) signatures carry 8-byte longs (one md5 per shingle + "
+        "independent random-linear family), so the band bucket equi-join "
+        "shuffles longs, never hex strings; (3) jaccard_verify "
+        "localCheckpoints the candidate list, semi-joins the candidate-"
+        "incident ids against the shingle stream BEFORE any wide exchange "
+        "(plan: the set-semantics distinct and both intersection join "
+        "sides read the checkpointed SLICE, not the corpus), k=3/16/4 "
+        "banding keeps candidate precision near 1 (51k candidates -> 51k "
+        "verified pairs at 1M docs vs 10.8M at the old k=2/2-row "
+        "parameterization). At 100 TB nothing downstream of the map-side "
+        "scans is corpus-sized."
+    ),
     "dedup_clusters": (
-        "Near-dup cluster resolution: LSH candidate pairs (bucketed "
-        "equi-join, see lsh_dedup_pairs) feed iterative min-label "
-        "propagation — per round one O(E) message shuffle + one O(V) min "
-        "aggregate, lineage cut by localCheckpoint so round k never replays "
-        "rounds 1..k-1. Only edge-incident nodes loop; singletons join back "
-        "at the end (the 100-TB fast path: most docs are singletons). The "
-        "printed plan is the final label join over the checkpointed RDD; "
-        "the loop's cost model is rounds ~= dup-group diameter (2-4)."
+        "Near-dup cluster resolution: LSH candidate pairs (slice-verified "
+        "bucketed equi-join, see lsh_dedup_pairs) feed iterative min-label "
+        "propagation — ONE shuffle chain per round (the old label rides "
+        "the same union+min aggregate as the neighbor messages; "
+        "convergence is a joinless filter), lineage cut by localCheckpoint "
+        "so round k never replays rounds 1..k-1, loop exchanges sized to "
+        "the EDGE list (~100k rows/partition, session conf pinned and "
+        "restored under try/finally — including AQE initialPartitionNum, "
+        "which would otherwise override the loop width). Edges are "
+        "symmetrized MAP-SIDE via explode(array(struct,struct)) so the "
+        "unpersisted verify subtree executes once, not twice. Only "
+        "edge-incident nodes loop; singletons join back at the end (the "
+        "100-TB fast path: most docs are singletons). The printed plan is "
+        "the final label join over the checkpointed RDD; the loop's cost "
+        "model is rounds ~= dup-group diameter (2-4)."
+    ),
+    "dedup_clusters_star": (
+        "Same contract resolved by alternating large-star/small-star "
+        "(Kiveris SoCC'14) for HIGH-DIAMETER graphs: each round is two "
+        "O(E) groupBy-rewrite shuffles + distinct, halving tree height — "
+        "O(log n) rounds regardless of component shape vs propagation's "
+        "one round per diameter hop. Convergence is an order-free edge-set "
+        "fingerprint (count + XOR of xxhash64) — two equal consecutive "
+        "fingerprints end the loop; same edge-sized loop partitioning, "
+        "try/finally conf restore and localCheckpoint lineage cuts as the "
+        "propagation twin; final labels are localCheckpointed "
+        "(ContextCleaner-managed, no CacheManager entry). The printed "
+        "plan is the final label join."
     ),
     "stratified_sample": (
         "Per-group top-n by hash with the two-pass threshold prefilter: "
