@@ -4184,15 +4184,15 @@ def q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NUMERIC_CORR = """
 SELECT * FROM (
   SELECT 'event_id' AS col_a, 'user_id' AS col_b,
-    ROUND(corr(CAST(event_id AS DOUBLE), CAST(user_id AS DOUBLE)), 6) AS corr
+    ROUND(corr(CAST(event_id AS DOUBLE), CAST(user_id AS DOUBLE)), 6) + 0.0 AS corr
   FROM events
   UNION ALL
   SELECT 'event_id', 'value',
-    ROUND(corr(CAST(event_id AS DOUBLE), CAST(value AS DOUBLE)), 6)
+    ROUND(corr(CAST(event_id AS DOUBLE), CAST(value AS DOUBLE)), 6) + 0.0
   FROM events
   UNION ALL
   SELECT 'user_id', 'value',
-    ROUND(corr(CAST(user_id AS DOUBLE), CAST(value AS DOUBLE)), 6)
+    ROUND(corr(CAST(user_id AS DOUBLE), CAST(value AS DOUBLE)), 6) + 0.0
   FROM events
 ) ORDER BY col_a, col_b
 """

@@ -791,13 +791,18 @@ def numeric_corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
         both = F.col(a).isNotNull() & F.col(b).isNotNull()
         av = F.when(both, F.col(a).cast("double"))
         bv = F.when(both, F.col(b).cast("double"))
+        # + 0.0 normalizes IEEE negative zero: a sub-half-ulp-of-rounding
+        # negative correlation rounds to -0.0 in one engine and +0.0 in
+        # the other depending on each engine's accumulation order — a
+        # pandas value-hash mismatch on numerically-equal results
+        # (observed at sf1 on near-independent columns).
         return F.round(
             F.try_divide(
                 F.covar_samp(av, bv),
                 F.stddev_samp(av) * F.stddev_samp(bv),
             ),
             6,
-        )
+        ) + F.lit(0.0)
 
     wide = df.agg(
         *[_corr(a, b).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
