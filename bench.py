@@ -304,7 +304,26 @@ def main() -> None:
         rep = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "400"))
         pairs = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "4"))
         os.environ.setdefault("SPARK_GRAFT_SCALE_QUERY", "row_hash_violations")
-        lo, hi = f"local[{ncores}]", f"local[{4 * ncores}]"
+        # Two emulation modes for "N vs 4N executors" (default: cluster):
+        # - cluster: local-cluster[1,N,m] vs local-cluster[4,N,m] — one vs
+        #   four SEPARATE executor JVMs of identical size, the faithful
+        #   stand-in for adding executors to a cluster. Round-5 finding:
+        #   a single local[4N] JVM under-scales allocation-heavy map
+        #   stages ~3x per-task at 16 threads (host-level single-process
+        #   effect; not GC, not bandwidth, no lock contention in stack
+        #   samples), while 4x4-core executor JVMs on the SAME pinned
+        #   cores run the same stage 2.9x faster — single-JVM local mode
+        #   systematically UNDERSTATES the engine's executor scaling.
+        # - jvm: the pre-round-5 local[N] vs local[4N] single-JVM protocol
+        #   (kept for continuity with r3/r4 numbers).
+        mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "cluster")
+        if mode == "cluster":
+            emem_mb = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "8192"))
+            os.environ["SPARK_GRAFT_EXECUTOR_MEM"] = f"{emem_mb}m"
+            lo = f"local-cluster[1,{ncores},{emem_mb}]"
+            hi = f"local-cluster[4,{ncores},{emem_mb}]"
+        else:
+            lo, hi = f"local[{ncores}]", f"local[{4 * ncores}]"
         runs_lo, runs_hi = [], []
         for _ in range(pairs):
             runs_lo.append(_run_suite_subprocess(lo, rep, ncores=ncores))

@@ -454,6 +454,28 @@ def simhash_near_pairs(
     )
 
 
+def _loop_partitions(spark, n_edges: int, sess_parts: int) -> int:
+    """Shuffle width for the iterative CC loops: sized to the EDGE list,
+    but never starving the cluster's cores.
+
+    Two regimes, both measured:
+    - tiny dup graphs (hundreds of edges): corpus-sized partition counts
+      schedule dozens of near-empty task waves per round — per-round fixed
+      cost is the serial fraction that caps N->4N scaling (round 4).
+    - mid-sized graphs (round 5, 4M-doc protocol: ~400k edges): a pure
+      rows-per-partition target (100k) yields FEWER partitions than cores
+      on the 4N leg, capping loop parallelism at the same width on both
+      cluster sizes — the loop stops scaling entirely.
+    So: grow one partition per 10k edges up to the core count (tasks stay
+    >=10k rows, far from the near-empty pathology), then one per 100k
+    edges beyond it, capped by the session width as before.
+    """
+    par = spark.sparkContext.defaultParallelism
+    lo = n_edges // 100_000 + 1
+    fill_cores = min(par, n_edges // 10_000 + 1)
+    return max(1, min(sess_parts, max(lo, fill_cores)))
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -524,7 +546,7 @@ def connected_components(
     spark = pairs.sparkSession
     n_edges = edges.count()  # cached — also materializes the persist
     sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(1, min(int(sess_parts), n_edges // 100_000 + 1))
+    loop_parts = _loop_partitions(spark, n_edges, int(sess_parts))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     # AQE's coalescePartitions.initialPartitionNum (set session-wide to
     # 256 for corpus-scale aggregates) OVERRIDES shuffle.partitions as the
@@ -670,7 +692,7 @@ def connected_components_star(
     # schedule corpus-sized near-empty task waves.
     spark = pairs.sparkSession
     sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(1, min(int(sess_parts), fp[0] // 100_000 + 1))
+    loop_parts = _loop_partitions(spark, fp[0], int(sess_parts))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     # pin AQE's initial shuffle width to the loop size too — the session
     # initialPartitionNum=256 would otherwise override shuffle.partitions

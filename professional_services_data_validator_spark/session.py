@@ -62,10 +62,14 @@ def get_spark(
         # spikes to 90% on this microVM); pre-touching moves that cost to
         # session startup. On a real cluster spark-submit overrides these.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
+        # ParallelGC (round 5): the allocation-heavy codegen stages (shingle
+        # explode: 208M short-lived strings/pass) measured 20% faster than
+        # G1 at local[16] (40.5 vs 50.1 s) — the throughput collector is the
+        # right trade for a batch engine with no latency SLO.
         .config(
             "spark.driver.extraJavaOptions",
             f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '20g')} "
-            "-XX:+AlwaysPreTouch",
+            "-XX:+AlwaysPreTouch -XX:+UseParallelGC",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
@@ -81,6 +85,23 @@ def get_spark(
     # spark.local.dir points at executor-local NVMe instead.
     if os.path.isdir("/dev/shm"):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
+        # local-cluster worker JVMs resolve scratch from SPARK_LOCAL_DIRS
+        # env (it overrides spark.local.dir); export it so executor
+        # shuffle files land on tmpfs there too
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-scratch")
+    # local-cluster[k,c,m] (the sandbox's multi-executor emulation — used
+    # by the N-vs-4N-executor scaling protocol): size each executor JVM
+    # explicitly. Round-5 measurement: a SINGLE local[16] JVM under-scales
+    # map stages 3x per-task vs 4 tasks (host-level effect on one process;
+    # GC pauses 0.5 s, bandwidth 28 GB/s available, stack samples all
+    # RUNNABLE in codegen), while 4 separate 4-core executor JVMs on the
+    # same 16 pinned cores run the same stage 2.9x faster — executor-JVM
+    # isolation is both the faithful cluster emulation and the faster one.
+    if master.startswith("local-cluster"):
+        emem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g")
+        builder = builder.config("spark.executor.memory", emem).config(
+            "spark.executor.extraJavaOptions", "-XX:+UseParallelGC"
+        )
     # AQE initial shuffle width, GATED ON WORKLOAD SCALE (round-5 A/B).
     # Corpus-scale aggregates want wide-start exchanges: at 5M docs the
     # MinHash aggregate (~265M shingle rows) at cores-many initial
