@@ -1418,9 +1418,13 @@ def _oracle_band_union(num_hashes: int, bands: int) -> str:
     SELECT per band, band_hash = md5 of the band's r = num_hashes//bands
     signature rows pipe-joined — byte-identical to the Spark side."""
     r = num_hashes // bands
+    # round 5: band key = 60-bit md5 prefix as BIGINT (the Spark side
+    # shuffles 8-byte longs instead of 32-char hex; identical reduction
+    # here so the bucket structure cannot drift)
     return "\n  UNION ALL ".join(
-        "SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) "
-        "AS band_hash FROM sig".format(
+        "SELECT id, {b} AS band_idx, "
+        "CAST(('0x' || substring(md5(concat_ws('|', {cols})), 1, 15)) "
+        "AS BIGINT) AS band_hash FROM sig".format(
             b=b, cols=", ".join(f"mh_{b * r + j}" for j in range(r))
         )
         for b in range(bands)

@@ -164,13 +164,74 @@ def minhash_signatures(
     return proj.groupBy("id").agg(*aggs)
 
 
+def minhash_signatures_mapside(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MAP-ONLY MinHash: per-document array fold instead of explode +
+    corpus-wide hash aggregate.
+
+    Identical values to ``minhash_signatures(shingles(df, ...,
+    distinct=False))`` — min over the raw shingle multiset equals min
+    over the set — but the 10^8-row shingle explode, the V-group
+    aggregate hash maps and their exchange are GONE: tokens -> shingle
+    array -> 60-bit-hash array happen inside one projection, and each
+    signature is an ``array_min`` over a per-row transform. The only
+    remaining corpus-scale cost is the per-shingle md5 itself (evaluated
+    once — the hash array is materialized in a child projection exactly
+    like shingles() materializes the token array). Round-5 measurement
+    at 4M docs / local[16]: signature stage 50.6 s -> 18.5 s; the
+    shuffle that fed the aggregate disappears entirely.
+
+    NULL text produces no shingle rows in the explode path, so it is
+    filtered here too (a doc with NULL text has no signature).
+    """
+    tokenized = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    h_arr = F.transform(
+        sh_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+    hs = tokenized.select("id", h_arr.alias("__hs"))
+    def _lin(a: int, b: int):
+        # closure factory: a defaulted lambda (x, a=a, b=b) would be read
+        # by PySpark as a 3-ary higher-order-function callback
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    cols = []
+    for j in range(num_hashes):
+        a, b = minhash_coeffs(j)
+        cols.append(
+            F.array_min(F.transform(F.col("__hs"), _lin(a, b))).alias(
+                f"mh_{j}"
+            )
+        )
+    return hs.select("id", *cols)
+
+
 def lsh_candidates(
     sig: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
     """Band the signature, bucket-join on (band_idx, band_hash).
 
-    Returns candidate pairs (id_a < id_b). Each band is md5 of its rows'
-    concatenation; the self-join is an equi-join on the band bucket — hash
+    Returns candidate pairs (id_a < id_b). Each band key is the 60-bit
+    md5 prefix of its rows' pipe-concatenation, as a LONG (round 5: the
+    band self-join is the pipeline's widest exchange — 8-byte integer
+    keys shuffle 4x fewer bytes and hash/compare faster than 32-char hex
+    strings; the DuckDB oracle applies the identical reduction, and a
+    key collision only costs a false CANDIDATE that exact-Jaccard
+    verification discards). Equi-join on the band bucket — hash
     partitioned, no cross product.
     """
     rows_per_band = num_hashes // bands
@@ -180,7 +241,10 @@ def lsh_candidates(
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15),
+                    16, 10,
+                ).cast("long").alias("band_hash"),
             )
         )
     banded = sig.select(
@@ -207,6 +271,7 @@ def jaccard_verify(
     sh: DataFrame,
     threshold: float = 0.5,
     reliable_checkpoint: bool = False,
+    sh_slicer=None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (the LSH contract).
 
@@ -251,7 +316,16 @@ def jaccard_verify(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shc = _ckpt(sh.join(ids, "id", "left_semi").distinct())
+    # sh_slicer (round 5): derive the candidate-incident shingle slice
+    # straight from the DOCUMENT slice instead of semi-filtering the
+    # corpus-wide shingle stream — the 10^8-row explode over every doc
+    # (the worst-scaling stage in the pipeline) then runs only over the
+    # candidate-incident docs, typically a few percent of the corpus.
+    if sh_slicer is not None:
+        raw_slice = sh_slicer(ids)
+    else:
+        raw_slice = sh.join(ids, "id", "left_semi")
+    shc = _ckpt(raw_slice.distinct())
     sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # count common shingles per candidate pair (slice-sized exchanges)
     sh_a = shc.select(F.col("id").alias("id_a"), "shingle")
@@ -306,11 +380,21 @@ def minhash_dedup_pairs(
     localCheckpoints for its three consumers — slice-sized state instead
     of a corpus-sized cache, and no CacheManager entry to release.
     """
-    sh = shingles(df, id_col, text_col, k, distinct=False)
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures_mapside(df, id_col, text_col, k, num_hashes)
     cand = lsh_candidates(sig, num_hashes, bands)
+
+    def _slice(ids: DataFrame) -> DataFrame:
+        sliced = df.join(
+            ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+        return shingles(sliced, id_col, text_col, k, distinct=False)
+
     return jaccard_verify(
-        cand, sh, threshold, reliable_checkpoint=reliable_checkpoint
+        cand,
+        None,
+        threshold,
+        reliable_checkpoint=reliable_checkpoint,
+        sh_slicer=_slice,
     )
 
 
@@ -817,10 +901,16 @@ def dedup_clusters(
     # localCheckpoint edges/labels, so after the eager resolver call the
     # output plan reads only slice-sized checkpointed state plus the node
     # frame, all ContextCleaner-managed.
-    sh = shingles(df, id_col, text_col, k, distinct=False)
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures_mapside(df, id_col, text_col, k, num_hashes)
     cand = lsh_candidates(sig, num_hashes, bands)
-    pairs = jaccard_verify(cand, sh, threshold)
+
+    def _slice(ids: DataFrame) -> DataFrame:
+        sliced = df.join(
+            ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+        return shingles(sliced, id_col, text_col, k, distinct=False)
+
+    pairs = jaccard_verify(cand, None, threshold, sh_slicer=_slice)
     resolver = (
         connected_components_star
         if components == "star"
