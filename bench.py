@@ -212,7 +212,14 @@ def run_suite(
                     round(time.perf_counter() - t0, 3)
                 )
         training = {n: min(ts) for n, ts in training_tries.items()}
-    spark.stop()
+    # local-cluster teardown is noisy: the master may churn executor
+    # relaunches while the app deregisters and stop() can surface a
+    # shutdown-race exception AFTER every measurement is complete —
+    # swallowing it keeps a finished suite from reporting nothing
+    try:
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 - teardown only
+        sys.stderr.write(f"spark.stop() raised during teardown: {e}\n")
     entrymod._PREPPED.clear()
     d = [y - x for x, y in zip(cpu_a, cpu_b)]
     tot = sum(d) or 1
@@ -265,15 +272,32 @@ def _run_suite_subprocess(master: str, replicate: int, ncores: int = 0) -> dict:
     if ncores and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, env=env)
-    if out.returncode != 0:
+    # a local-cluster child can finish the whole timed suite and still
+    # exit nonzero from teardown races (worker shutdown-hook errors, the
+    # master churning executor relaunches while the app deregisters) —
+    # accept any child that produced a parsable result line, and only
+    # raise when there is no result to salvage
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    res = None
+    if lines:
+        try:
+            res = json.loads(lines[-1])
+        except (ValueError, IndexError):
+            res = None
+    if res is None:
         # surface the child's failure — a swallowed stderr turns one bad
         # run into an undiagnosable empty protocol output
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(
-            f"suite subprocess {master} exited {out.returncode}; "
-            "stderr tail above"
+            f"suite subprocess {master} exited {out.returncode} with no "
+            "parsable result line; stderr tail above"
         )
-    res = json.loads(out.stdout.strip().splitlines()[-1])
+    if out.returncode != 0:
+        sys.stderr.write(
+            f"note: suite subprocess {master} exited "
+            f"{out.returncode} AFTER producing a result (teardown noise); "
+            "result accepted\n"
+        )
     # steal_pct/user_pct come from the CHILD, sampled around just the timed
     # loop — the parent's whole-subprocess window would dilute them with
     # Spark startup + warmup
