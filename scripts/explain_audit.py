@@ -124,22 +124,25 @@ NOTES = {
         "is one running sum per shard."
     ),
     "lsh_dedup_pairs": (
-        "Round-4 redesigned LSH front-end, the plan shapes the 1M-doc "
-        "237->40.5 s A/B pinned: (1) MinHash consumes the RAW shingle "
-        "stream — no corpus-wide distinct exchange (min-aggregation is "
-        "duplicate-insensitive), the only O(corpus-tokens) stages are "
-        "map-side explode scans feeding a partial-agg'd groupBy(id); "
-        "(2) signatures carry 8-byte longs (one md5 per shingle + "
-        "independent random-linear family), so the band bucket equi-join "
-        "shuffles longs, never hex strings; (3) jaccard_verify "
-        "localCheckpoints the candidate list, semi-joins the candidate-"
-        "incident ids against the shingle stream BEFORE any wide exchange "
-        "(plan: the set-semantics distinct and both intersection join "
-        "sides read the checkpointed SLICE, not the corpus), k=3/16/4 "
-        "banding keeps candidate precision near 1 (51k candidates -> 51k "
-        "verified pairs at 1M docs vs 10.8M at the old k=2/2-row "
-        "parameterization). At 100 TB nothing downstream of the map-side "
-        "scans is corpus-sized."
+        "Round-5 LSH front-end (r4's redesign + three stage rewrites, "
+        "4M-doc e2e 228.8 -> 117.8 s at local[16]): (1) MAP-SIDE MinHash "
+        "(minhash_signatures_mapside) — token array -> shingle array -> "
+        "60-bit-hash array -> array_min per family member, all inside one "
+        "projection: the 10^8-row shingle explode, the V-group aggregate "
+        "hash maps and their exchange no longer exist (identical values: "
+        "min over multiset == min over set); (2) the band bucket key is "
+        "the 60-bit md5 prefix AS A LONG, so the band self-join — the "
+        "pipeline's widest exchange — shuffles 8-byte ints, never hex "
+        "strings (a key collision only creates a false candidate that "
+        "exact-Jaccard verification discards; DuckDB applies the same "
+        "reduction); (3) jaccard_verify localCheckpoints the candidate "
+        "list and re-derives the verification shingles from the DOCUMENT "
+        "slice (left-semi on candidate-incident ids, THEN shingle) — the "
+        "corpus-wide explode runs exactly once per pass, for signatures. "
+        "k=3/16/4 banding keeps candidate precision near 1 (51k "
+        "candidates -> 51k verified pairs at 1M docs vs 10.8M at the old "
+        "k=2/2-row parameterization). At 100 TB the only corpus-sized "
+        "work is the one map-side signature projection."
     ),
     "dedup_clusters": (
         "Near-dup cluster resolution: LSH candidate pairs (slice-verified "
